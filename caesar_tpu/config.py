@@ -1,0 +1,328 @@
+"""Run configuration: the entire flag surface of the framework.
+
+Replaces the reference's pydra-based CaesarRunConfig (caesar_config.py:6-99)
+with a dependency-free dataclass config system that keeps the same ergonomics:
+
+* declarative defaults with REQUIRED markers,
+* CLI ``key=value`` overrides (values parsed as Python literals when possible),
+* dotted sub-config overrides (``engine.quant=int8``),
+* named presets applied with ``.preset`` arguments,
+* a ``finalize()`` hook (parses prompt_strategy names into Strategy enums),
+* full serialization next to every trajectory so runs are self-describing
+  (reference logger.py:41-45).
+
+Knobs the reference's scripts used but never wired into config (``mock``,
+``use_last_only``, ``context_strategy`` — SURVEY.md §5.6) are first-class here:
+``backend=mock`` and ``context_mode=last_only``.
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+import dataclasses
+import os
+from typing import Any, List, Optional
+
+from caesar_tpu.harness.strategy import Strategy, parse_strategies
+
+
+class _Required:
+    def __repr__(self) -> str:
+        return "<REQUIRED>"
+
+
+REQUIRED: Any = _Required()
+
+
+def _parse_value(text: str) -> Any:
+    """Parse a CLI value: Python literal if possible, else raw string."""
+    try:
+        return ast.literal_eval(text)
+    except (ValueError, SyntaxError):
+        return text
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    """Serving-engine knobs (the data plane)."""
+
+    #: model preset name (see caesar_tpu.engine.model.MODEL_PRESETS) or a path
+    #: to a HF checkpoint directory with config.json + *.safetensors
+    model: str = "qwen2.5-coder-1.5b"
+    #: weight quantization: bf16 | int8 | int4
+    quant: str = "bf16"
+    #: KV-cache storage dtype: bf16 | fp8
+    kv_quant: str = "bf16"
+    #: paged KV cache page size (tokens per page)
+    page_size: int = 64
+    #: max pages in the KV pool (0 = size automatically from HBM budget)
+    num_pages: int = 0
+    #: max concurrent sequences in a decode batch
+    max_batch: int = 16
+    #: max model sequence length served
+    max_seq_len: int = 4096
+    #: prefill chunk size (tokens per scheduler prefill step)
+    prefill_chunk: int = 512
+    #: tensor-parallel size (chips); 1 on a single chip
+    tp: int = 1
+    #: data-parallel replicas (across remaining chips)
+    dp: int = 1
+    #: enable cross-turn/cross-sample prefix KV reuse
+    prefix_cache: bool = True
+    #: random-init weights when no checkpoint is available (zero-egress envs)
+    allow_random_init: bool = True
+    #: seed for random-init weights and sampling
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class RunConfig:
+    """Top-level run config (the control plane + engine)."""
+
+    # --- run identity (reference caesar_config.py:9-10) ---
+    run_group: str = REQUIRED
+    run_name: str = REQUIRED
+
+    # --- dataset (reference caesar_config.py:13-17) ---
+    dataset_name: str = "kernelbench-tpu/level1"
+    num_samples: int = 1  # independent chains per problem (parallel scaling)
+    max_k: int = 10  # turns per trajectory
+
+    # --- generation backend ---
+    #: mock | engine | http  (the reference only had remote HTTP providers;
+    #: `engine` is the in-house TPU serving engine, `mock` the deterministic
+    #: no-LLM dry-run the reference scripts implied via mock=True)
+    backend: str = "mock"
+    model_name: str = "qwen2.5-coder-1.5b"
+    server_address: Optional[str] = None  # http backend only
+    server_port: Optional[int] = None
+
+    # --- decoding parameters (reference caesar_config.py:26-30) ---
+    greedy_sample: bool = False
+    temperature: float = 0.0
+    top_p: float = 1.0
+    top_k: int = 50
+    max_tokens: int = 4096
+
+    # --- reasoning-model knobs (reference caesar_config.py:32-35) ---
+    reasoning_model: bool = False
+    reasoning_effort: str = ""
+    reasoning_budget_tokens: int = 0
+
+    # --- prompt strategy (reference caesar_config.py:38) ---
+    prompt_strategy: Any = REQUIRED  # list[str] on CLI -> set[Strategy]
+    #: which kernel language the prompts ask for: pallas | cuda
+    prompt_flavor: str = "pallas"
+    #: context composition: best_and_last (reference behavior) | last_only
+    context_mode: str = "best_and_last"
+    #: character cap on profiler feedback injected into prompts
+    #: (reference state_machine.py:214 hard-codes 4000)
+    max_profiler_feedback_chars: int = 4000
+
+    # --- concurrency ---
+    #: concurrent trajectory tasks (the reference's num_workers process pool,
+    #: main.py:192-203, becomes asyncio tasks multiplexed on one engine)
+    num_workers: int = 16
+    #: concurrent kernel-eval slots (host CPU processes)
+    eval_workers: int = 2
+
+    # --- eval sandbox ---
+    #: mock | jax | torch_cpu
+    eval_backend: str = "jax"
+    measure_performance: bool = True
+    num_correct_trials: int = 5
+    num_perf_trials: int = 100
+    timeout: float = 600.0  # per compile/eval round, seconds
+    #: profiler round timeout — the reference waited forever
+    #: (state_machine.py:422); bounded here deliberately (SURVEY.md §7.4)
+    profiler_timeout: float = 600.0
+
+    # --- persistence (reference caesar_config.py:55-56) ---
+    log_dir_prefix: str = "runs/logs"
+    build_dir_prefix: str = "runs/build"
+
+    # --- verbosity (reference caesar_config.py:58-60) ---
+    verbose: bool = False
+    show_state: bool = False
+
+    # --- workflow topology ---
+    transition: str = "full_feedback"
+
+    # --- engine sub-config ---
+    engine: EngineConfig = dataclasses.field(default_factory=EngineConfig)
+
+    # ------------------------------------------------------------------
+    def finalize(self) -> "RunConfig":
+        """Validate and normalize; mirrors reference finalize()
+        (caesar_config.py:62-71)."""
+        missing = [
+            f.name
+            for f in dataclasses.fields(self)
+            if getattr(self, f.name) is REQUIRED
+        ]
+        if missing:
+            raise ValueError(f"Missing required config fields: {missing}")
+
+        if not isinstance(self.prompt_strategy, (list, tuple, set, frozenset)):
+            raise ValueError("'prompt_strategy' must be a list of strategy names")
+        self.prompt_strategy = parse_strategies(self.prompt_strategy)
+
+        if self.context_mode not in ("best_and_last", "last_only"):
+            raise ValueError(f"Bad context_mode {self.context_mode!r}")
+        if self.backend not in ("mock", "engine", "http"):
+            raise ValueError(f"Bad backend {self.backend!r}")
+        if self.eval_backend not in ("mock", "jax", "torch_cpu"):
+            raise ValueError(f"Bad eval_backend {self.eval_backend!r}")
+        if self.engine.quant not in ("bf16", "int8", "int4"):
+            raise ValueError(f"Bad engine.quant {self.engine.quant!r}")
+        if self.engine.kv_quant not in ("bf16", "fp8"):
+            raise ValueError(f"Bad engine.kv_quant {self.engine.kv_quant!r}")
+        return self
+
+    # ------------------------------------------------------------------
+    def to_dict(self) -> dict:
+        def conv(v: Any) -> Any:
+            if isinstance(v, (set, frozenset)):
+                return sorted(str(x) for x in v)
+            if isinstance(v, Strategy):
+                return v.name
+            if dataclasses.is_dataclass(v) and not isinstance(v, type):
+                return {f.name: conv(getattr(v, f.name)) for f in dataclasses.fields(v)}
+            if v is REQUIRED:
+                return None
+            return v
+
+        return {
+            f.name: conv(getattr(self, f.name)) for f in dataclasses.fields(self)
+        }
+
+    def copy(self) -> "RunConfig":
+        return copy.deepcopy(self)
+
+    # ------------------------------------------------------------------
+    def apply_override(self, key: str, value: Any) -> None:
+        """Apply one dotted ``key=value`` override."""
+        obj: Any = self
+        parts = key.split(".")
+        for part in parts[:-1]:
+            if not hasattr(obj, part):
+                raise AttributeError(f"Unknown config section {part!r} in {key!r}")
+            obj = getattr(obj, part)
+        leaf = parts[-1]
+        if not hasattr(obj, leaf):
+            raise AttributeError(f"Unknown config key {key!r}")
+        current = getattr(obj, leaf)
+        if current is not REQUIRED and current is not None and not isinstance(
+            value, type(current)
+        ):
+            # light coercion so `num_workers=8` (int) fits float fields etc.
+            try:
+                if isinstance(current, bool):
+                    value = value if isinstance(value, bool) else str(value).lower() in (
+                        "1",
+                        "true",
+                        "yes",
+                    )
+                elif isinstance(current, float) and isinstance(value, int):
+                    value = float(value)
+            except Exception:
+                pass
+        setattr(obj, leaf, value)
+
+    def apply_preset(self, name: str) -> None:
+        preset = PRESETS.get(name)
+        if preset is None:
+            raise KeyError(f"Unknown preset {name!r}; available: {sorted(PRESETS)}")
+        for k, v in preset.items():
+            self.apply_override(k, v)
+
+    @classmethod
+    def from_cli(cls, argv: List[str]) -> "RunConfig":
+        """Build a config from CLI args: ``.preset`` then ``key=value``."""
+        cfg = cls()
+        for arg in argv:
+            if arg.startswith("."):
+                cfg.apply_preset(arg[1:])
+            elif "=" in arg:
+                key, _, raw = arg.partition("=")
+                cfg.apply_override(key, _parse_value(raw))
+            else:
+                raise ValueError(f"Cannot parse CLI arg {arg!r} (want key=value)")
+        return cfg.finalize()
+
+
+#: Named presets (the reference kept these as comments, caesar_config.py:73-96;
+#: here they are applicable with e.g. ``.mock`` on the CLI). The staged presets
+#: correspond to BASELINE.json's five milestone configs.
+PRESETS: dict = {
+    # BASELINE.json config 1: mock CPU-only smoke run
+    "mock": {
+        "backend": "mock",
+        "eval_backend": "mock",
+        "dataset_name": "kernelbench-tpu/level1-test",
+        "max_k": 1,
+        "num_samples": 1,
+        "greedy_sample": True,
+        "prompt_strategy": ["SHOW_INLINE_SYNTAX", "COMPILER_FEEDBACK",
+                            "CORRECTNESS_FEEDBACK", "PROFILER_FEEDBACK"],
+    },
+    # BASELINE.json config 2: 1.5B BF16 single chip greedy
+    "bf16-1.5b": {
+        "backend": "engine",
+        "engine.model": "qwen2.5-coder-1.5b",
+        "engine.quant": "bf16",
+        "greedy_sample": True,
+        "max_k": 3,
+        "dataset_name": "kernelbench-tpu/level1-subset",
+    },
+    # BASELINE.json config 3: 7B INT8 continuous batching, 48 trajectories
+    "int8-7b": {
+        "backend": "engine",
+        "engine.model": "qwen2.5-coder-7b",
+        "engine.quant": "int8",
+        "engine.max_batch": 48,
+        "num_workers": 48,
+    },
+    # BASELINE.json config 4: 32B INT4 + FP8 KV, 8-chip TP, last-only context
+    "int4-32b": {
+        "backend": "engine",
+        "engine.model": "r1-distill-32b",
+        "engine.quant": "int4",
+        "engine.kv_quant": "fp8",
+        "engine.tp": 8,
+        "context_mode": "last_only",
+    },
+    # BASELINE.json config 5: 70B-class multi-host sweep
+    "70b-pod": {
+        "backend": "engine",
+        "engine.model": "llama-70b",
+        "engine.quant": "int4",
+        "engine.kv_quant": "fp8",
+        "engine.tp": 8,
+        "engine.dp": 2,
+        "dataset_name": "kernelbench-tpu/level2",
+        "max_k": 10,
+        "num_samples": 10,
+        "temperature": 0.7,
+    },
+}
+
+
+def default_test_config(**overrides: Any) -> RunConfig:
+    """A finalized config for tests: mock everything, tmp-friendly dirs."""
+    cfg = RunConfig()
+    cfg.run_group = "test_group"
+    cfg.run_name = "test_run"
+    cfg.prompt_strategy = [
+        "SHOW_INLINE_SYNTAX",
+        "COMPILER_FEEDBACK",
+        "CORRECTNESS_FEEDBACK",
+        "PROFILER_FEEDBACK",
+    ]
+    cfg.backend = "mock"
+    cfg.eval_backend = "mock"
+    cfg.max_k = 2
+    for k, v in overrides.items():
+        cfg.apply_override(k, v)
+    return cfg.finalize()
