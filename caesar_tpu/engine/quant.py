@@ -1,0 +1,160 @@
+"""Weight-only quantization: INT8 and INT4 with grouped scales.
+
+The quantized-serving core the BASELINE.json north star names: weights are
+stored as int8 (or int4 packed two-per-byte along the reduction axis) plus
+bf16 group scales; activations stay bf16.  Dequantization happens inside the
+matmul — on TPU via the fused Pallas kernel (ops/quant_matmul.py), elsewhere
+via an XLA dequant+dot that the compiler fuses.
+
+Layout choices (TPU-first):
+
+* Weights are [in, out] ("row-major for the reduction"), scales
+  [in/group, out]: the kernel walks the reduction axis in group-sized tiles,
+  dequantizing a [group, out_tile] int block into VMEM registers right before
+  the MXU consumes it — HBM traffic is 1 byte (or half) per weight instead
+  of 2.
+* Group size defaults to 128: one scale per (sublane-tile x output column),
+  mapping exactly onto the MXU's 128-lane contraction, and matching common
+  INT4 checkpoint formats (AWQ/GPTQ-style groupings) for quality parity.
+* INT4 packs along `in` so both nibbles of a byte belong to the same group
+  (same scale) — unpack is a shift/mask, no cross-group arithmetic.
+
+QuantizedLinear is a registered pytree dataclass: it flows through jit /
+shard_map like any array leaf, and model.linear() dispatches on its type.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Literal, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_GROUP = 128
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["qweight", "scales"],
+    meta_fields=["bits", "group", "out_features", "in_features"],
+)
+@dataclasses.dataclass
+class QuantizedLinear:
+    """Quantized [in, out] weight.
+
+    qweight: int8 — [in, out] for bits=8, [in//2, out] nibble-packed for
+        bits=4 (low nibble = even row, high nibble = odd row).
+    scales: bf16 — [in/group, out].
+    """
+
+    qweight: jax.Array
+    scales: jax.Array
+    bits: int
+    group: int
+    out_features: int
+    in_features: int
+
+
+def quantize_weight(
+    w: jax.Array | np.ndarray,
+    bits: Literal[4, 8],
+    group: int = DEFAULT_GROUP,
+) -> QuantizedLinear:
+    """Symmetric per-group quantization of an [in, out] weight."""
+    w = np.asarray(w, dtype=np.float32)
+    if w.ndim != 2:
+        raise ValueError(f"expected 2D weight, got {w.shape}")
+    d_in, d_out = w.shape
+    if d_in % group != 0:
+        raise ValueError(f"in dim {d_in} not divisible by group {group}")
+    qmax = 127.0 if bits == 8 else 7.0
+
+    grouped = w.reshape(d_in // group, group, d_out)
+    absmax = np.abs(grouped).max(axis=1)  # [n_groups, out]
+    scales = np.maximum(absmax / qmax, 1e-8).astype(np.float32)
+    q = np.clip(
+        np.rint(grouped / scales[:, None, :]), -qmax, qmax
+    ).astype(np.int8)
+    q = q.reshape(d_in, d_out)
+
+    if bits == 4:
+        if d_in % 2 != 0:
+            raise ValueError("int4 packing needs even in dim")
+        low = q[0::2].astype(np.uint8) & 0x0F
+        high = (q[1::2].astype(np.uint8) & 0x0F) << 4
+        q = (low | high).astype(np.int8)  # [in//2, out]
+
+    return QuantizedLinear(
+        qweight=jnp.asarray(q),
+        scales=jnp.asarray(scales, dtype=jnp.bfloat16),
+        bits=int(bits),
+        group=int(group),
+        out_features=d_out,
+        in_features=d_in,
+    )
+
+
+def _unpack_int4(packed: jax.Array, in_features: int) -> jax.Array:
+    """[in//2, out] nibble-packed int8 -> [in, out] int8 in [-7, 7]."""
+    as_u8 = packed.astype(jnp.uint8)
+    low = (as_u8 & 0x0F).astype(jnp.int8)
+    high = ((as_u8 >> 4) & 0x0F).astype(jnp.int8)
+    # sign-extend 4-bit two's complement: v >= 8 -> v - 16
+    low = jnp.where(low >= 8, low - 16, low)
+    high = jnp.where(high >= 8, high - 16, high)
+    interleaved = jnp.stack([low, high], axis=1)  # [in//2, 2, out]
+    return interleaved.reshape(in_features, packed.shape[-1])
+
+
+def dequantize(w: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
+    """Materialize the bf16 weight (reference/fallback path; the Pallas
+    kernel dequantizes in VMEM instead)."""
+    q = w.qweight if w.bits == 8 else _unpack_int4(w.qweight, w.in_features)
+    grouped = q.reshape(w.in_features // w.group, w.group, w.out_features)
+    scaled = grouped.astype(jnp.float32) * w.scales.astype(jnp.float32)[:, None, :]
+    return scaled.reshape(w.in_features, w.out_features).astype(dtype)
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("CAESAR_DISABLE_PALLAS_QUANT"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def quantized_matmul(x: jax.Array, w: QuantizedLinear) -> jax.Array:
+    """x [..., in] @ w -> [..., out] in f32 accumulation.
+
+    TPU: fused dequant+matmul Pallas kernel (weights dequantized tile-by-tile
+    in VMEM).  Elsewhere: XLA dequant + dot (fused by the compiler, used in
+    CPU tests)."""
+    if _use_pallas():
+        from caesar_tpu.ops.quant_matmul import quant_matmul_pallas
+
+        return quant_matmul_pallas(x, w)
+    wf = dequantize(w, dtype=jnp.bfloat16)
+    return jnp.dot(x, wf, preferred_element_type=jnp.float32)
+
+
+def quantize_params(params, bits: Literal[4, 8], group: int = DEFAULT_GROUP):
+    """Quantize every linear weight of a model params tree (embeddings and
+    norms stay bf16, matching weight-only serving practice)."""
+    quantized_layers = []
+    for layer in params["layers"]:
+        new_layer = dict(layer)
+        for key in ("wq", "wk", "wv", "wo"):
+            new_layer[key] = quantize_weight(layer[key], bits, group)
+        new_mlp = dict(layer["mlp"])
+        for key in ("gate", "up", "down"):
+            new_mlp[key] = quantize_weight(layer["mlp"][key], bits, group)
+        new_layer["mlp"] = new_mlp
+        quantized_layers.append(new_layer)
+    out = dict(params)
+    out["layers"] = quantized_layers
+    return out

@@ -1,0 +1,202 @@
+"""Weight loading: HF safetensors checkpoints or seeded random init.
+
+Checkpoint path: a directory with config.json + *.safetensors in HF
+Qwen2/Llama naming is mapped into the engine's params tree ([in, out]
+weight layout — HF stores [out, in], so projections transpose on load).
+Zero-egress environments (no downloadable weights) fall back to seeded
+random init with realistic scaling so serving benchmarks exercise the exact
+compute/memory paths of the real checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from caesar_tpu.engine.model import MODEL_PRESETS, ModelSpec
+
+
+# ----------------------------------------------------------------------
+# random init
+# ----------------------------------------------------------------------
+
+
+def init_params(spec: ModelSpec, seed: int = 0, dtype=jnp.bfloat16) -> dict:
+    """Seeded random params with 1/sqrt(fan_in) scaling.
+
+    Uses numpy RNG + device_put per leaf (not jax.random on-device): at 7B+
+    scale the host loop streams leaves to HBM without materializing a second
+    full copy, mirroring how a checkpoint load behaves.
+    """
+    rng = np.random.default_rng(seed)
+
+    def mat(d_in: int, d_out: int) -> jax.Array:
+        w = rng.standard_normal((d_in, d_out), dtype=np.float32)
+        w *= 1.0 / np.sqrt(d_in)
+        return jnp.asarray(w, dtype=dtype)
+
+    def vec(d: int, value: float = 1.0) -> jax.Array:
+        return jnp.full((d,), value, dtype=dtype)
+
+    layers = []
+    for _ in range(spec.n_layers):
+        layer = {
+            "ln_attn": vec(spec.dim),
+            "ln_mlp": vec(spec.dim),
+            "wq": mat(spec.dim, spec.q_dim),
+            "wk": mat(spec.dim, spec.kv_dim),
+            "wv": mat(spec.dim, spec.kv_dim),
+            "wo": mat(spec.q_dim, spec.dim),
+            "mlp": {
+                "gate": mat(spec.dim, spec.hidden),
+                "up": mat(spec.dim, spec.hidden),
+                "down": mat(spec.hidden, spec.dim),
+            },
+        }
+        if spec.attn_bias:
+            layer["bq"] = jnp.zeros((spec.q_dim,), dtype=dtype)
+            layer["bk"] = jnp.zeros((spec.kv_dim,), dtype=dtype)
+            layer["bv"] = jnp.zeros((spec.kv_dim,), dtype=dtype)
+        layers.append(layer)
+
+    params = {
+        "embed": jnp.asarray(
+            rng.standard_normal((spec.vocab, spec.dim), dtype=np.float32) * 0.02,
+            dtype=dtype,
+        ),
+        "layers": layers,
+        "ln_out": vec(spec.dim),
+    }
+    if not spec.tie_embeddings:
+        params["unembed"] = mat(spec.dim, spec.vocab)
+    return params
+
+
+# ----------------------------------------------------------------------
+# HF checkpoint loading
+# ----------------------------------------------------------------------
+
+_HF_LAYER_MAP = {
+    # engine key -> HF suffix (weights transposed [out,in] -> [in,out])
+    "wq": "self_attn.q_proj.weight",
+    "wk": "self_attn.k_proj.weight",
+    "wv": "self_attn.v_proj.weight",
+    "wo": "self_attn.o_proj.weight",
+    "mlp.gate": "mlp.gate_proj.weight",
+    "mlp.up": "mlp.up_proj.weight",
+    "mlp.down": "mlp.down_proj.weight",
+}
+_HF_BIAS_MAP = {
+    "bq": "self_attn.q_proj.bias",
+    "bk": "self_attn.k_proj.bias",
+    "bv": "self_attn.v_proj.bias",
+}
+_HF_NORM_MAP = {
+    "ln_attn": "input_layernorm.weight",
+    "ln_mlp": "post_attention_layernorm.weight",
+}
+
+
+def spec_from_hf_config(config: dict, name: str = "checkpoint") -> ModelSpec:
+    n_heads = config["num_attention_heads"]
+    head_dim = config.get(
+        "head_dim", config["hidden_size"] // n_heads
+    )
+    return ModelSpec(
+        name=name,
+        vocab=config["vocab_size"],
+        dim=config["hidden_size"],
+        n_layers=config["num_hidden_layers"],
+        n_heads=n_heads,
+        n_kv_heads=config.get("num_key_value_heads", n_heads),
+        head_dim=head_dim,
+        hidden=config["intermediate_size"],
+        rope_theta=config.get("rope_theta", 1e6),
+        rms_eps=config.get("rms_norm_eps", 1e-6),
+        attn_bias=config.get("model_type", "qwen2") == "qwen2",
+        tie_embeddings=config.get("tie_word_embeddings", False),
+    )
+
+
+def load_hf_checkpoint(
+    ckpt_dir: str | os.PathLike, dtype=jnp.bfloat16
+) -> tuple[ModelSpec, dict]:
+    """Load a HF Qwen2/Llama safetensors checkpoint into the params tree."""
+    from safetensors import safe_open
+
+    ckpt_dir = Path(ckpt_dir)
+    with open(ckpt_dir / "config.json") as f:
+        config = json.load(f)
+    spec = spec_from_hf_config(config, name=ckpt_dir.name)
+
+    # index all tensors across shards
+    tensor_files: Dict[str, Path] = {}
+    for shard in sorted(ckpt_dir.glob("*.safetensors")):
+        with safe_open(shard, framework="numpy") as f:
+            for key in f.keys():
+                tensor_files[key] = shard
+
+    _handles: Dict[Path, object] = {}
+
+    def get(key: str, transpose: bool = False) -> jax.Array:
+        shard = tensor_files[key]
+        if shard not in _handles:
+            _handles[shard] = safe_open(shard, framework="numpy")
+        arr = _handles[shard].get_tensor(key)
+        if transpose:
+            arr = arr.T
+        return jnp.asarray(arr, dtype=dtype)
+
+    layers = []
+    for i in range(spec.n_layers):
+        prefix = f"model.layers.{i}."
+        layer: dict = {"mlp": {}}
+        for eng_key, suffix in _HF_LAYER_MAP.items():
+            value = get(prefix + suffix, transpose=True)
+            if eng_key.startswith("mlp."):
+                layer["mlp"][eng_key[4:]] = value
+            else:
+                layer[eng_key] = value
+        for eng_key, suffix in _HF_NORM_MAP.items():
+            layer[eng_key] = get(prefix + suffix)
+        if spec.attn_bias:
+            for eng_key, suffix in _HF_BIAS_MAP.items():
+                layer[eng_key] = get(prefix + suffix)
+        layers.append(layer)
+
+    params = {
+        "embed": get("model.embed_tokens.weight"),
+        "layers": layers,
+        "ln_out": get("model.norm.weight"),
+    }
+    if not spec.tie_embeddings:
+        params["unembed"] = get("lm_head.weight", transpose=True)
+    return spec, params
+
+
+def load_model(
+    model: str,
+    seed: int = 0,
+    allow_random_init: bool = True,
+    dtype=jnp.bfloat16,
+) -> tuple[ModelSpec, dict]:
+    """Resolve `model` (preset name or checkpoint dir) to (spec, params)."""
+    if os.path.isdir(model):
+        return load_hf_checkpoint(model, dtype=dtype)
+    spec = MODEL_PRESETS.get(model)
+    if spec is None:
+        raise KeyError(
+            f"{model!r} is neither a checkpoint directory nor a preset "
+            f"({sorted(MODEL_PRESETS)})"
+        )
+    if not allow_random_init:
+        raise FileNotFoundError(
+            f"No checkpoint for {model!r} and allow_random_init=False"
+        )
+    return spec, init_params(spec, seed=seed, dtype=dtype)
