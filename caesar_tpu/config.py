@@ -176,7 +176,7 @@ class RunConfig:
             raise ValueError(f"Bad eval_backend {self.eval_backend!r}")
         if self.engine.quant not in ("bf16", "int8", "int4"):
             raise ValueError(f"Bad engine.quant {self.engine.quant!r}")
-        if self.engine.kv_quant not in ("bf16", "fp8"):
+        if self.engine.kv_quant not in ("bf16", "fp8", "f32"):
             raise ValueError(f"Bad engine.kv_quant {self.engine.kv_quant!r}")
         return self
 

@@ -1,0 +1,450 @@
+"""The serving engine: continuous batching over the paged KV cache.
+
+Architecture (BASELINE.json north star — "a continuous-batching scheduler
+that natively drives the Caesar state machine so hundreds of multi-turn
+trajectories share one decode loop"):
+
+* A dedicated scheduler thread owns the device: it alternates one prefill
+  chunk (one sequence, page-aligned, padded to a static chunk size) with one
+  decode chunk (the whole slot batch, DECODE_STEPS tokens per dispatch, see
+  step.py).  Trajectory tasks submit GenerateRequests from asyncio and await
+  futures; new sequences join the decode batch between chunks — continuous
+  batching, no generation ever waits for a "full batch".
+* Host-authoritative state: everything except the KV pool (big, donated
+  across steps) lives in numpy on the host and is re-staged per dispatch —
+  a few KB per chunk, amortized by the multi-step decode.  No device-side
+  bookkeeping to corrupt on crash.
+* Admission runs the prefix cache (allocator.py): the longest page-aligned
+  cached prefix of the prompt is adopted by incref (cross-turn reuse of the
+  per-problem initial prompt, SURVEY.md §5.7), only the tail is prefilled.
+  On retirement the sequence's full pages are inserted back into the cache.
+* The first "decode" step of a sequence re-feeds the last prompt token at
+  its original position (rewriting identical KV), so first-token sampling
+  uses the same in-jit path as every other token.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from caesar_tpu.config import EngineConfig
+from caesar_tpu.engine import kvcache, step as step_mod
+from caesar_tpu.engine.allocator import PageAllocator, PrefixCache
+from caesar_tpu.engine.model import ModelSpec
+from caesar_tpu.engine.quant import quantize_params
+from caesar_tpu.engine.step import DecodeState
+from caesar_tpu.engine.tokenizer import Tokenizer, load_tokenizer
+from caesar_tpu.engine.weights import load_model
+from caesar_tpu.harness.generate import GenerateRequest, GenerateResult
+
+DECODE_STEPS = 16  # tokens per decode dispatch (amortizes host latency)
+
+
+@dataclasses.dataclass
+class _Sequence:
+    request: GenerateRequest
+    future: Future
+    prompt: List[int]
+    pages: List[int]  # all pages this sequence references (incl. cached)
+    n_cached: int  # prompt tokens adopted from the prefix cache
+    prefilled: int  # prompt tokens prefilled so far (excl. cached)
+    generated: List[int] = dataclasses.field(default_factory=list)
+    slot: int = -1
+    submitted_at: float = dataclasses.field(default_factory=time.monotonic)
+
+    @property
+    def prompt_done(self) -> bool:
+        return self.n_cached + self.prefilled >= len(self.prompt)
+
+
+class EngineStats:
+    def __init__(self) -> None:
+        self.prefill_tokens = 0
+        self.decode_tokens = 0
+        self.completed = 0
+        self.decode_dispatches = 0
+        self.prefill_dispatches = 0
+        self.decode_time_s = 0.0
+        self.prefill_time_s = 0.0
+        self.batch_occupancy_sum = 0.0
+
+    def snapshot(self, prefix_cache: Optional[PrefixCache]) -> dict:
+        d = dict(self.__dict__)
+        d["prefix_hit_rate"] = prefix_cache.hit_rate if prefix_cache else 0.0
+        d["mean_decode_batch"] = (
+            self.batch_occupancy_sum / self.decode_dispatches
+            if self.decode_dispatches
+            else 0.0
+        )
+        d["decode_tokens_per_s"] = (
+            self.decode_tokens / self.decode_time_s if self.decode_time_s else 0.0
+        )
+        return d
+
+
+class Engine:
+    """Continuous-batching serving engine over one device (mesh-sharded in
+    parallel/plan.py for tp>1)."""
+
+    def __init__(
+        self,
+        econf: EngineConfig,
+        spec: Optional[ModelSpec] = None,
+        params: Optional[dict] = None,
+        tokenizer: Optional[Tokenizer] = None,
+        n_pages: Optional[int] = None,
+        decode_steps: int = DECODE_STEPS,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.econf = econf
+        if spec is None or params is None:
+            spec, params = load_model(
+                econf.model,
+                seed=econf.seed,
+                allow_random_init=econf.allow_random_init,
+            )
+        if econf.quant in ("int8", "int4"):
+            params = quantize_params(params, bits=8 if econf.quant == "int8" else 4)
+        self.spec = spec
+        self.mesh = mesh
+        if mesh is not None:
+            from caesar_tpu.parallel.plan import shard_params
+
+            params = shard_params(spec, params, mesh)
+        self.params = params
+        self.tokenizer = tokenizer or load_tokenizer(econf.model)
+        self.decode_steps = decode_steps
+
+        self.page_size = econf.page_size
+        self.max_pages_per_seq = econf.max_seq_len // econf.page_size
+        self.max_batch = econf.max_batch
+        self.prefill_chunk = econf.prefill_chunk
+        assert self.prefill_chunk % self.page_size == 0
+
+        if n_pages is None:
+            n_pages = econf.num_pages or self._auto_pages()
+        self.cache = kvcache.create_cache(
+            spec, n_pages, self.page_size, econf.kv_quant
+        )
+        if mesh is not None:
+            from caesar_tpu.parallel.plan import shard_cache
+
+            self.cache = shard_cache(self.cache, mesh)
+        self.allocator = PageAllocator(n_pages)
+        self._scratch_page = self.allocator.alloc(1)[0]  # page 0, never freed
+        self.prefix_cache = (
+            PrefixCache(self.allocator, self.page_size)
+            if econf.prefix_cache
+            else None
+        )
+
+        self.stats = EngineStats()
+        self._rng = jax.random.PRNGKey(econf.seed)
+
+        # host-authoritative slot state
+        self._slots: List[Optional[_Sequence]] = [None] * self.max_batch
+        self._pending: "queue.Queue[_Sequence]" = queue.Queue()
+        self._prefilling: Optional[_Sequence] = None
+
+        self._wake = threading.Event()
+        self._running = True
+        self._fatal: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._loop, name="caesar-engine", daemon=True
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def _auto_pages(self) -> int:
+        """Size the page pool from the device HBM budget (single chip)."""
+        try:
+            dev = jax.devices()[0]
+            if dev.platform == "tpu":
+                hbm = 16 * 2 ** 30  # v5e
+            else:
+                hbm = 4 * 2 ** 30  # CPU tests: keep it small
+        except Exception:
+            hbm = 4 * 2 ** 30
+        bytes_per_w = {"bf16": 2.0, "int8": 1.0, "int4": 0.5}[self.econf.quant]
+        budget = hbm - self.spec.param_bytes(bytes_per_w) - 2 * 2 ** 30
+        page_bytes = kvcache.cache_bytes(
+            self.spec, 1, self.page_size, self.econf.kv_quant
+        )
+        n = max(budget // page_bytes, 0)
+        floor = self.max_batch * 4  # always enough to admit the batch
+        ceil = self.max_batch * self.max_pages_per_seq + 1
+        return int(min(max(n, floor), ceil))
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    async def generate(self, request: GenerateRequest) -> GenerateResult:
+        future = self.submit(request)
+        return await asyncio.wrap_future(future)
+
+    def submit(self, request: GenerateRequest) -> Future:
+        """Thread-safe submission; returns a concurrent Future."""
+        if self._fatal is not None:
+            raise RuntimeError("engine loop died") from self._fatal
+        future: Future = Future()
+        prompt = self.tokenizer.encode(request.prompt)
+        # leave room for at least one generated token
+        max_prompt = self.econf.max_seq_len - 1
+        if len(prompt) > max_prompt:
+            prompt = prompt[:max_prompt]
+        seq = _Sequence(request=request, future=future, prompt=prompt,
+                        pages=[], n_cached=0, prefilled=0)
+        self._pending.put(seq)
+        self._wake.set()
+        return future
+
+    def generate_sync(self, request: GenerateRequest) -> GenerateResult:
+        return self.submit(request).result()
+
+    def close(self) -> None:
+        self._running = False
+        self._wake.set()
+        self._thread.join(timeout=30)
+
+    async def aclose(self) -> None:
+        await asyncio.to_thread(self.close)
+
+    # ------------------------------------------------------------------
+    # scheduler loop
+    # ------------------------------------------------------------------
+
+    def _loop(self) -> None:
+        try:
+            while self._running:
+                progressed = False
+                progressed |= self._admit()
+                progressed |= self._prefill_one_chunk()
+                progressed |= self._decode_chunk()
+                if not progressed:
+                    self._wake.wait(timeout=0.01)
+                    self._wake.clear()
+        except BaseException as e:  # surface fatal errors to submitters
+            self._fatal = e
+            for slot in self._slots:
+                if slot is not None and not slot.future.done():
+                    slot.future.set_exception(e)
+            if self._prefilling and not self._prefilling.future.done():
+                self._prefilling.future.set_exception(e)
+            while True:
+                try:
+                    seq = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                if not seq.future.done():
+                    seq.future.set_exception(e)
+
+    # ------------------------------------------------------------------
+    def _alloc(self, n: int) -> List[int]:
+        if self.prefix_cache is not None:
+            return self.prefix_cache.alloc_with_eviction(n)
+        return self.allocator.alloc(n)
+
+    def _admit(self) -> bool:
+        """Start prefilling the next pending request if a slot is free."""
+        if self._prefilling is not None:
+            return False
+        if all(s is not None for s in self._slots):
+            return False
+        try:
+            seq = self._pending.get_nowait()
+        except queue.Empty:
+            return False
+
+        if self.prefix_cache is not None:
+            pages, n_cached = self.prefix_cache.match(seq.prompt)
+            # always recompute at least the last token so decode can re-feed it
+            while n_cached >= len(seq.prompt) and pages:
+                page = pages.pop()
+                self.allocator.decref(page)
+                n_cached -= self.page_size
+            seq.pages = pages
+            seq.n_cached = n_cached
+
+        self._prefilling = seq
+        return True
+
+    def _prefill_one_chunk(self) -> bool:
+        seq = self._prefilling
+        if seq is None:
+            return False
+        t0 = time.monotonic()
+
+        start = seq.n_cached + seq.prefilled
+        remaining = seq.prompt[start:]
+        chunk_tokens = remaining[: self.prefill_chunk]
+        real_t = len(chunk_tokens)
+        pad = self.prefill_chunk - real_t
+        tokens = np.asarray(
+            chunk_tokens + [0] * pad, dtype=np.int32
+        )
+        positions = np.arange(start, start + self.prefill_chunk, dtype=np.int32)
+
+        n_chunk_pages = self.prefill_chunk // self.page_size
+        new_pages = self._alloc(n_chunk_pages)
+        seq.pages.extend(new_pages)
+
+        table = np.zeros(self.max_pages_per_seq, dtype=np.int32)
+        table[: len(seq.pages)] = seq.pages
+
+        self.cache, _logits = step_mod.prefill_chunk(
+            self.spec,
+            self.params,
+            self.cache,
+            jnp.asarray(tokens),
+            jnp.asarray(positions),
+            jnp.asarray(table),
+            jnp.asarray(np.asarray(new_pages, dtype=np.int32)),
+            jnp.asarray(real_t - 1, dtype=np.int32),
+        )
+        seq.prefilled += real_t
+        self.stats.prefill_tokens += real_t
+        self.stats.prefill_dispatches += 1
+        self.stats.prefill_time_s += time.monotonic() - t0
+
+        if seq.prompt_done:
+            # trim over-allocated pages beyond the prompt (pad pages stay —
+            # they are within the last chunk; drop whole-page overshoot)
+            needed = -(-len(seq.prompt) // self.page_size)
+            while len(seq.pages) > needed:
+                self.allocator.decref(seq.pages.pop())
+            slot = self._slots.index(None)
+            seq.slot = slot
+            self._slots[slot] = seq
+            self._prefilling = None
+        return True
+
+    # ------------------------------------------------------------------
+    def _decode_chunk(self) -> bool:
+        b = self.max_batch
+        n = self.decode_steps
+        # retire sequences whose next chunk would write past max_seq_len
+        for seq in [s for s in self._slots if s is not None]:
+            next_pos = len(seq.prompt) + len(seq.generated) - 1
+            if next_pos > self.econf.max_seq_len - 1 - n:
+                self._retire(seq)
+        active = [s for s in self._slots if s is not None]
+        if not active:
+            return False
+        t0 = time.monotonic()
+
+        tokens = np.zeros(b, dtype=np.int32)
+        positions = np.zeros(b, dtype=np.int32)
+        tables = np.zeros((b, self.max_pages_per_seq), dtype=np.int32)
+        active_mask = np.zeros(b, dtype=bool)
+        temperature = np.zeros(b, dtype=np.float32)
+        top_k = np.zeros(b, dtype=np.int32)
+        top_p = np.ones(b, dtype=np.float32)
+
+        for seq in active:
+            i = seq.slot
+            if seq.generated:
+                tokens[i] = seq.generated[-1]
+                positions[i] = len(seq.prompt) + len(seq.generated) - 1
+            else:
+                # re-feed the final prompt token (rewrites identical KV)
+                tokens[i] = seq.prompt[-1]
+                positions[i] = len(seq.prompt) - 1
+            # page headroom covering the chunk's writes
+            last_write = positions[i] + n - 1
+            needed = min(last_write // self.page_size + 1, self.max_pages_per_seq)
+            if needed > len(seq.pages):
+                seq.pages.extend(self._alloc(needed - len(seq.pages)))
+            tables[i, : len(seq.pages)] = seq.pages
+            active_mask[i] = True
+            req = seq.request
+            temperature[i] = req.temperature
+            top_k[i] = req.top_k
+            top_p[i] = req.top_p
+
+        self._rng, sub = jax.random.split(self._rng)
+        state = DecodeState(
+            tokens=jnp.asarray(tokens),
+            positions=jnp.asarray(positions),
+            page_tables=jnp.asarray(tables),
+            done=jnp.zeros(b, dtype=bool),
+            active=jnp.asarray(active_mask),
+            temperature=jnp.asarray(temperature),
+            top_k=jnp.asarray(top_k),
+            top_p=jnp.asarray(top_p),
+            rng=sub,
+        )
+        self.cache, state, out = step_mod.decode_steps(
+            self.spec,
+            self.params,
+            self.cache,
+            n,
+            state,
+            jnp.asarray(self.tokenizer.eos_id, dtype=jnp.int32),
+        )
+        out = np.asarray(out)  # [B, n] — the one host sync per chunk
+
+        emitted = 0
+        for seq in list(active):
+            row = out[seq.slot]
+            for token in row:
+                if len(seq.generated) >= seq.request.max_tokens:
+                    break
+                token = int(token)
+                seq.generated.append(token)
+                emitted += 1
+                if token == self.tokenizer.eos_id:
+                    break
+            if (
+                seq.generated
+                and (
+                    seq.generated[-1] == self.tokenizer.eos_id
+                    or len(seq.generated) >= seq.request.max_tokens
+                    or len(seq.prompt) + len(seq.generated)
+                    >= self.econf.max_seq_len
+                )
+            ):
+                self._retire(seq)
+
+        self.stats.decode_tokens += emitted
+        self.stats.decode_dispatches += 1
+        self.stats.batch_occupancy_sum += len(active)
+        self.stats.decode_time_s += time.monotonic() - t0
+        return True
+
+    # ------------------------------------------------------------------
+    def _retire(self, seq: _Sequence) -> None:
+        self._slots[seq.slot] = None
+        generated = seq.generated
+        if generated and generated[-1] == self.tokenizer.eos_id:
+            generated = generated[:-1]
+        text = self.tokenizer.decode(generated)
+
+        if self.prefix_cache is not None:
+            # share this sequence's full prompt+completion pages
+            all_tokens = seq.prompt + seq.generated
+            full = len(all_tokens) // self.page_size
+            self.prefix_cache.insert(all_tokens[: full * self.page_size],
+                                     seq.pages[:full])
+        for page in seq.pages:
+            self.allocator.decref(page)
+        seq.pages = []
+
+        usage = {
+            "prompt_tokens": len(seq.prompt),
+            "completion_tokens": len(generated),
+            "cached_tokens": seq.n_cached,
+        }
+        self.stats.completed += 1
+        if not seq.future.done():
+            seq.future.set_result(GenerateResult(text=text, token_usage=usage))

@@ -1,0 +1,153 @@
+"""Paged KV cache: fixed page pool + per-sequence page tables.
+
+vLLM-style paging, laid out TPU-first:
+
+* One pool per model: k/v arrays of shape
+  [n_layers, n_pages, page_size, n_kv_heads, head_dim].  The last two dims
+  (heads x head_dim, = kv_dim >= 128 lanes) keep reads MXU/VPU-tile aligned;
+  page_size rides the sublane dimension.
+* Page tables are data, not shapes: [B, max_pages] int32 arrays index the
+  pool, so jit compiles the decode/prefill steps exactly once and sequences
+  of any length share them.  Unused table slots point at page 0 and are
+  masked by sequence length — never branched on.
+* Storage dtype bf16 or float8_e4m3fn (FP8 halves KV HBM traffic — decode
+  attention is bandwidth-bound); values upcast to bf16 on read next to the
+  compute.  Page allocation/free/refcounting is host-side (allocator.py) —
+  device code only ever gathers/scatters by page id, which is what makes
+  cross-turn prefix sharing free: shared pages appear in many tables.
+
+Capability note: this subsystem is new design space — the reference harness
+has no serving engine at all (SURVEY.md §2.3); BASELINE.json's north star
+specifies the FP8 paged KV + continuous batching requirement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from caesar_tpu.engine.model import ModelSpec
+
+
+def kv_dtype(name: str):
+    if name == "bf16":
+        return jnp.bfloat16
+    if name == "fp8":
+        return jnp.float8_e4m3fn
+    if name == "f32":  # debug/parity-testing only
+        return jnp.float32
+    raise KeyError(f"Unknown kv dtype {name!r}")
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k_pages", "v_pages"],
+    meta_fields=["page_size"],
+)
+@dataclasses.dataclass
+class PagedKVCache:
+    k_pages: jax.Array  # [L, n_pages, page_size, n_kv, hd]
+    v_pages: jax.Array
+    page_size: int
+
+    @property
+    def n_pages(self) -> int:
+        return self.k_pages.shape[1]
+
+    @property
+    def n_layers(self) -> int:
+        return self.k_pages.shape[0]
+
+
+def create_cache(
+    spec: ModelSpec,
+    n_pages: int,
+    page_size: int,
+    dtype_name: str = "bf16",
+) -> PagedKVCache:
+    dtype = kv_dtype(dtype_name)
+    shape = (spec.n_layers, n_pages, page_size, spec.n_kv_heads, spec.head_dim)
+    return PagedKVCache(
+        k_pages=jnp.zeros(shape, dtype=dtype),
+        v_pages=jnp.zeros(shape, dtype=dtype),
+        page_size=page_size,
+    )
+
+
+def cache_bytes(
+    spec: ModelSpec, n_pages: int, page_size: int, dtype_name: str = "bf16"
+) -> int:
+    per_el = {"fp8": 1, "bf16": 2, "f32": 4}[dtype_name]
+    return (
+        2 * spec.n_layers * n_pages * page_size * spec.n_kv_heads
+        * spec.head_dim * per_el
+    )
+
+
+# ----------------------------------------------------------------------
+# device-side ops (pure, jit-friendly)
+# ----------------------------------------------------------------------
+
+
+def write_chunk(
+    cache: PagedKVCache,
+    layer: int,
+    page_ids: jax.Array,  # [n_chunk_pages] int32
+    k: jax.Array,  # [T, n_kv, hd] bf16, T == n_chunk_pages * page_size
+    v: jax.Array,
+) -> PagedKVCache:
+    """Scatter a page-aligned prefill chunk's K/V into the pool."""
+    t, n_kv, hd = k.shape
+    pages = t // cache.page_size
+    kp = k.reshape(pages, cache.page_size, n_kv, hd).astype(cache.k_pages.dtype)
+    vp = v.reshape(pages, cache.page_size, n_kv, hd).astype(cache.v_pages.dtype)
+    return PagedKVCache(
+        k_pages=cache.k_pages.at[layer, page_ids].set(kp),
+        v_pages=cache.v_pages.at[layer, page_ids].set(vp),
+        page_size=cache.page_size,
+    )
+
+
+def write_token(
+    cache: PagedKVCache,
+    layer: int,
+    page_ids: jax.Array,  # [B] int32 — page holding each sequence's position
+    slots: jax.Array,  # [B] int32 — offset within that page
+    k: jax.Array,  # [B, n_kv, hd]
+    v: jax.Array,
+) -> PagedKVCache:
+    """Scatter one decode token per sequence into the pool."""
+    kc = k.astype(cache.k_pages.dtype)
+    vc = v.astype(cache.v_pages.dtype)
+    return PagedKVCache(
+        k_pages=cache.k_pages.at[layer, page_ids, slots].set(kc),
+        v_pages=cache.v_pages.at[layer, page_ids, slots].set(vc),
+        page_size=cache.page_size,
+    )
+
+
+def gather_kv(
+    cache: PagedKVCache,
+    layer: int,
+    page_table: jax.Array,  # [B, max_pages] int32
+) -> Tuple[jax.Array, jax.Array]:
+    """Gather each sequence's K/V: -> [B, max_pages*page_size, n_kv, hd] bf16.
+
+    The XLA reference path (the paged-attention Pallas kernel reads pages
+    directly from HBM instead); positions beyond a sequence's length contain
+    stale pool data and MUST be masked by the caller.
+    """
+    b, max_pages = page_table.shape
+    compute_dtype = (
+        jnp.float32 if cache.k_pages.dtype == jnp.float32 else jnp.bfloat16
+    )
+    k = cache.k_pages[layer][page_table]  # [B, P, page, n_kv, hd]
+    v = cache.v_pages[layer][page_table]
+    s = max_pages * cache.page_size
+    k = k.reshape(b, s, *k.shape[3:]).astype(compute_dtype)
+    v = v.reshape(b, s, *v.shape[3:]).astype(compute_dtype)
+    return k, v

@@ -1,0 +1,235 @@
+"""Jitted serving steps: chunked prefill and multi-step batched decode.
+
+The two compiled programs of the serving engine.  Static shapes throughout —
+prefill is always [1, prefill_chunk] and decode always [max_batch] x
+DECODE_STEPS — so XLA compiles each exactly once per model.
+
+Why decode runs DECODE_STEPS tokens per dispatch (lax.scan with the sampled
+token fed back inside the scan): every host->device dispatch costs real
+latency (tens of ms through a tunneled TPU), and decode math per step is
+small; scanning N steps amortizes dispatch to nothing and lets XLA overlap
+the host roundtrip with compute.  The host scheduler pre-extends page tables
+so every active sequence owns pages covering the next N positions before the
+call.
+
+Sampling happens inside the step (sampling.py): tokens never round-trip to
+the host mid-chunk.  EOS inside a chunk sets a done flag; the sequence keeps
+computing (masked, its pages already reserved) and the host trims at the
+chunk boundary — control flow is data, never shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from caesar_tpu.engine import kvcache
+from caesar_tpu.engine.kvcache import PagedKVCache
+from caesar_tpu.engine.model import (
+    ModelSpec,
+    linear,
+    mlp,
+    qkv_project,
+    rms_norm,
+)
+from caesar_tpu.engine.sampling import sample_tokens
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "tokens",
+        "positions",
+        "page_tables",
+        "done",
+        "active",
+        "temperature",
+        "top_k",
+        "top_p",
+        "rng",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class DecodeState:
+    """Per-slot decode batch state (all [B] unless noted).
+
+    tokens    — the token to FEED next (last prompt token or last sample)
+    positions — absolute position of that token
+    page_tables — [B, max_pages] page ids covering positions written so far
+                  plus the pre-reserved decode headroom
+    done      — sequence finished (EOS or length cap); still computes, masked
+    active    — slot holds a live sequence at all (inactive slots write to
+                the reserved scratch page 0)
+    """
+
+    tokens: jax.Array
+    positions: jax.Array
+    page_tables: jax.Array
+    done: jax.Array
+    active: jax.Array
+    temperature: jax.Array
+    top_k: jax.Array
+    top_p: jax.Array
+    rng: jax.Array
+
+
+def _lm_head(spec: ModelSpec, params: dict, x: jax.Array) -> jax.Array:
+    head = params["embed"].T if spec.tie_embeddings else params["unembed"]
+    return jnp.dot(x, head, preferred_element_type=jnp.float32)
+
+
+def _paged_attention(
+    spec: ModelSpec,
+    cache: PagedKVCache,
+    layer_idx: int,
+    q: jax.Array,  # [B, T, n_heads, hd]
+    page_tables: jax.Array,  # [B, max_pages]
+    q_positions: jax.Array,  # [B, T] absolute positions of the queries
+) -> jax.Array:
+    """Attention over gathered pages, masked to k_pos <= q_pos.
+
+    XLA reference path; the Pallas paged-attention kernel (ops/paged_attention
+    .py) replaces it on TPU for decode."""
+    b, t, n_heads, hd = q.shape
+    k, v = kvcache.gather_kv(cache, layer_idx, page_tables)  # [B, S, n_kv, hd]
+    s = k.shape[1]
+    n_kv = k.shape[2]
+    groups = n_heads // n_kv
+
+    qg = q.reshape(b, t, n_kv, groups, hd)
+    scores = jnp.einsum(
+        "btkgh,bskh->bkgts", qg, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(hd))
+    k_pos = jnp.arange(s)[None, None, :]  # positions == gather order
+    mask = k_pos <= q_positions[:, :, None]  # [B, T, S]
+    scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bkgts,bskh->btkgh", probs, v)
+    return out.reshape(b, t, n_heads, hd)
+
+
+# ----------------------------------------------------------------------
+# prefill
+# ----------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def prefill_chunk(
+    spec: ModelSpec,
+    params: dict,
+    cache: PagedKVCache,
+    tokens: jax.Array,  # [T] — one page-aligned chunk, padded to T
+    positions: jax.Array,  # [T] absolute positions (past_len + arange)
+    page_table: jax.Array,  # [max_pages] — full table incl. this chunk's pages
+    chunk_page_ids: jax.Array,  # [T // page_size] — where this chunk writes
+    last_index: jax.Array,  # scalar — index of the real last token in chunk
+) -> Tuple[PagedKVCache, jax.Array]:
+    """Run one prefill chunk of a single sequence; returns (cache, logits of
+    the chunk's last real token [vocab])."""
+    x = params["embed"][tokens][None]  # [1, T, D]
+    pos2d = positions[None]  # [1, T]
+    for layer_idx, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["ln_attn"], spec.rms_eps)
+        q, k, v = qkv_project(spec, layer, h, pos2d)
+        cache = kvcache.write_chunk(cache, layer_idx, chunk_page_ids, k[0], v[0])
+        attn = _paged_attention(spec, cache, layer_idx, q, page_table[None], pos2d)
+        x = x + linear(attn.reshape(1, -1, spec.q_dim), layer["wo"])
+        h = rms_norm(x, layer["ln_mlp"], spec.rms_eps)
+        x = x + mlp(layer["mlp"], h)
+    x = rms_norm(x, params["ln_out"], spec.rms_eps)
+    last_hidden = x[0, last_index]  # [D]
+    return cache, _lm_head(spec, params, last_hidden[None])[0]
+
+
+# ----------------------------------------------------------------------
+# decode
+# ----------------------------------------------------------------------
+
+
+def _decode_one(
+    spec: ModelSpec,
+    params: dict,
+    cache: PagedKVCache,
+    state: DecodeState,
+    eos_id: int,
+) -> Tuple[PagedKVCache, DecodeState, jax.Array]:
+    """One decode step for the whole batch; returns sampled tokens [B]."""
+    b = state.tokens.shape[0]
+    page_size = cache.page_size
+
+    x = params["embed"][state.tokens][:, None]  # [B, 1, D]
+    pos2d = state.positions[:, None]  # [B, 1]
+
+    # inactive slots park their writes on the reserved scratch page 0
+    write_pages_all = jnp.take_along_axis(
+        state.page_tables, (state.positions // page_size)[:, None], axis=1
+    )[:, 0]
+    write_pages = jnp.where(state.active, write_pages_all, 0)
+    write_slots = state.positions % page_size
+
+    for layer_idx, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["ln_attn"], spec.rms_eps)
+        q, k, v = qkv_project(spec, layer, h, pos2d)
+        cache = kvcache.write_token(
+            cache, layer_idx, write_pages, write_slots, k[:, 0], v[:, 0]
+        )
+        attn = _paged_attention(
+            spec, cache, layer_idx, q, state.page_tables, pos2d
+        )
+        x = x + linear(attn.reshape(b, 1, spec.q_dim), layer["wo"])
+        h = rms_norm(x, layer["ln_mlp"], spec.rms_eps)
+        x = x + mlp(layer["mlp"], h)
+
+    x = rms_norm(x, params["ln_out"], spec.rms_eps)
+    logits = _lm_head(spec, params, x[:, 0])  # [B, vocab]
+
+    rng, sub = jax.random.split(state.rng)
+    sampled = sample_tokens(
+        logits, sub, state.temperature, state.top_k, state.top_p
+    )
+    # frozen slots emit EOS; live ones their sample
+    emit = jnp.where(state.done | ~state.active, eos_id, sampled)
+    new_done = state.done | (emit == eos_id)
+
+    new_state = DecodeState(
+        tokens=emit.astype(state.tokens.dtype),
+        positions=state.positions + state.active.astype(state.positions.dtype),
+        page_tables=state.page_tables,
+        done=new_done,
+        active=state.active,
+        temperature=state.temperature,
+        top_k=state.top_k,
+        top_p=state.top_p,
+        rng=rng,
+    )
+    return cache, new_state, emit
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=(2, 4))
+def decode_steps(
+    spec: ModelSpec,
+    params: dict,
+    cache: PagedKVCache,
+    n_steps: int,
+    state: DecodeState,
+    eos_id: jax.Array,
+) -> Tuple[PagedKVCache, DecodeState, jax.Array]:
+    """Scan n_steps decode steps; returns (cache, state, tokens [B, n_steps]).
+
+    The host guarantees page_tables cover positions + n_steps before calling.
+    """
+
+    def body(carry, _):
+        cache, state = carry
+        cache, state, emitted = _decode_one(spec, params, cache, state, eos_id)
+        return (cache, state), emitted
+
+    (cache, state), tokens = jax.lax.scan(
+        body, (cache, state), None, length=n_steps
+    )
+    return cache, state, tokens.T  # [B, n_steps]
