@@ -41,7 +41,7 @@ from caesar_tpu.config import EngineConfig
 from caesar_tpu.engine import kvcache, step as step_mod
 from caesar_tpu.engine.allocator import PageAllocator, PrefixCache
 from caesar_tpu.engine.model import ModelSpec
-from caesar_tpu.engine.quant import quantize_params
+from caesar_tpu.engine.quant import QuantizedLinear, quantize_params
 from caesar_tpu.engine.step import DecodeState
 from caesar_tpu.engine.tokenizer import Tokenizer, load_tokenizer
 from caesar_tpu.engine.weights import load_model
@@ -108,12 +108,17 @@ class Engine:
     ):
         self.econf = econf
         if spec is None or params is None:
+            # quantization happens on host during load: the bf16 weights of
+            # an int8/int4 model never touch HBM
             spec, params = load_model(
                 econf.model,
                 seed=econf.seed,
                 allow_random_init=econf.allow_random_init,
+                quant=econf.quant,
             )
-        if econf.quant in ("int8", "int4"):
+        elif econf.quant in ("int8", "int4") and not isinstance(
+            params["layers"][0]["wq"], QuantizedLinear
+        ):
             params = quantize_params(params, bits=8 if econf.quant == "int8" else 4)
         self.spec = spec
         self.mesh = mesh

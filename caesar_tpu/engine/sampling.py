@@ -24,6 +24,27 @@ def sample_tokens(
     vocab = logits.shape[-1]
     greedy = jnp.argmax(logits, axis=-1)
 
+    # All-greedy batches skip the sort entirely: a full-vocab sort per decode
+    # step (e.g. 152K logits) costs more than the rest of sampling combined,
+    # and greedy (temperature 0) is the reference's default mode
+    # (greedy_sample, caesar_config.py:26).  lax.cond keeps this in-jit.
+    any_sampled = jnp.any(temperature > 0)
+    return jax.lax.cond(
+        any_sampled,
+        lambda: _sample_nongreedy(logits, greedy, rng, temperature, top_k, top_p),
+        lambda: greedy,
+    )
+
+
+def _sample_nongreedy(
+    logits: jax.Array,
+    greedy: jax.Array,
+    rng: jax.Array,
+    temperature: jax.Array,
+    top_k: jax.Array,
+    top_p: jax.Array,
+) -> jax.Array:
+    vocab = logits.shape[-1]
     # temperature scaling (guard 0 to avoid div-by-zero; masked out below)
     safe_t = jnp.where(temperature > 0, temperature, 1.0)
     scaled = logits / safe_t[:, None]

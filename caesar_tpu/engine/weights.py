@@ -27,18 +27,31 @@ from caesar_tpu.engine.model import MODEL_PRESETS, ModelSpec
 # ----------------------------------------------------------------------
 
 
-def init_params(spec: ModelSpec, seed: int = 0, dtype=jnp.bfloat16) -> dict:
+def init_params(
+    spec: ModelSpec,
+    seed: int = 0,
+    dtype=jnp.bfloat16,
+    quant_bits: Optional[int] = None,
+    quant_group: int = 128,
+) -> dict:
     """Seeded random params with 1/sqrt(fan_in) scaling.
 
     Uses numpy RNG + device_put per leaf (not jax.random on-device): at 7B+
     scale the host loop streams leaves to HBM without materializing a second
-    full copy, mirroring how a checkpoint load behaves.
+    full copy, mirroring how a checkpoint load behaves.  With quant_bits set
+    (8 or 4), linear weights are quantized ON HOST and only the int
+    representation ever reaches the device — a 7B INT8 model never holds
+    bf16 weights in HBM.
     """
+    from caesar_tpu.engine.quant import quantize_weight
+
     rng = np.random.default_rng(seed)
 
     def mat(d_in: int, d_out: int) -> jax.Array:
         w = rng.standard_normal((d_in, d_out), dtype=np.float32)
         w *= 1.0 / np.sqrt(d_in)
+        if quant_bits is not None:
+            return quantize_weight(w, bits=quant_bits, group=quant_group)
         return jnp.asarray(w, dtype=dtype)
 
     def vec(d: int, value: float = 1.0) -> jax.Array:
@@ -74,7 +87,11 @@ def init_params(spec: ModelSpec, seed: int = 0, dtype=jnp.bfloat16) -> dict:
         "ln_out": vec(spec.dim),
     }
     if not spec.tie_embeddings:
-        params["unembed"] = mat(spec.dim, spec.vocab)
+        # the unembedding stays dense (weight-only quant serving keeps the
+        # lm head in bf16, and _lm_head does a plain dot)
+        w = rng.standard_normal((spec.dim, spec.vocab), dtype=np.float32)
+        w *= 1.0 / np.sqrt(spec.dim)
+        params["unembed"] = jnp.asarray(w, dtype=dtype)
     return params
 
 
@@ -185,10 +202,18 @@ def load_model(
     seed: int = 0,
     allow_random_init: bool = True,
     dtype=jnp.bfloat16,
+    quant: str = "bf16",
 ) -> tuple[ModelSpec, dict]:
-    """Resolve `model` (preset name or checkpoint dir) to (spec, params)."""
+    """Resolve `model` (preset name or checkpoint dir) to (spec, params),
+    already quantized per `quant` (bf16 | int8 | int4)."""
+    quant_bits = {"bf16": None, "int8": 8, "int4": 4}[quant]
     if os.path.isdir(model):
-        return load_hf_checkpoint(model, dtype=dtype)
+        spec, params = load_hf_checkpoint(model, dtype=dtype)
+        if quant_bits is not None:
+            from caesar_tpu.engine.quant import quantize_params
+
+            params = quantize_params(params, bits=quant_bits)
+        return spec, params
     spec = MODEL_PRESETS.get(model)
     if spec is None:
         raise KeyError(
@@ -199,4 +224,4 @@ def load_model(
         raise FileNotFoundError(
             f"No checkpoint for {model!r} and allow_random_init=False"
         )
-    return spec, init_params(spec, seed=seed, dtype=dtype)
+    return spec, init_params(spec, seed=seed, dtype=dtype, quant_bits=quant_bits)
