@@ -70,6 +70,9 @@ class EngineConfig:
     dp: int = 1
     #: enable cross-turn/cross-sample prefix KV reuse
     prefix_cache: bool = True
+    #: admit+prefill pending requests before decoding (throughput-first;
+    #: False interleaves for lower time-to-first-token)
+    prefill_priority: bool = True
     #: random-init weights when no checkpoint is available (zero-egress envs)
     allow_random_init: bool = True
     #: seed for random-init weights and sampling

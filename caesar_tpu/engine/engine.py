@@ -50,6 +50,22 @@ from caesar_tpu.harness.generate import GenerateRequest, GenerateResult
 DECODE_STEPS = 16  # tokens per decode dispatch (amortizes host latency)
 
 
+def _enable_persistent_compile_cache() -> None:
+    """The decode graph (28-layer scan) takes minutes to compile on first
+    run; persist compiled executables across processes."""
+    import os
+
+    cache_dir = os.environ.get(
+        "CAESAR_JAX_CACHE", os.path.expanduser("~/.cache/caesar_jax")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass  # cache is an optimization, never a failure
+
+
 @dataclasses.dataclass
 class _Sequence:
     request: GenerateRequest
@@ -107,6 +123,7 @@ class Engine:
         mesh: Optional[jax.sharding.Mesh] = None,
     ):
         self.econf = econf
+        _enable_persistent_compile_cache()
         if spec is None or params is None:
             # quantization happens on host during load: the bf16 weights of
             # an int8/int4 model never touch HBM
@@ -155,6 +172,15 @@ class Engine:
 
         self.stats = EngineStats()
         self._rng = jax.random.PRNGKey(econf.seed)
+        # Pallas paged-attention path: single-device TPU (GSPMD-sharded
+        # meshes use the XLA gather path until the kernel is shard_map'd)
+        import os as _os
+
+        self._use_paged_kernel = (
+            mesh is None
+            and not _os.environ.get("CAESAR_DISABLE_PAGED_KERNEL")
+            and jax.default_backend() == "tpu"
+        )
 
         # host-authoritative slot state
         self._slots: List[Optional[_Sequence]] = [None] * self.max_batch
@@ -235,6 +261,16 @@ class Engine:
                 progressed = False
                 progressed |= self._admit()
                 progressed |= self._prefill_one_chunk()
+                if self.econf.prefill_priority and (
+                    self._prefilling is not None
+                    or (
+                        not self._pending.empty()
+                        and any(s is None for s in self._slots)
+                    )
+                ):
+                    # keep filling the batch before burning decode steps on
+                    # a half-empty batch (throughput-first admission)
+                    continue
                 progressed |= self._decode_chunk()
                 if not progressed:
                     self._wake.wait(timeout=0.01)
@@ -396,6 +432,7 @@ class Engine:
             n,
             state,
             jnp.asarray(self.tokenizer.eos_id, dtype=jnp.int32),
+            self._use_paged_kernel,
         )
         out = np.asarray(out)  # [B, n] — the one host sync per chunk
 

@@ -157,6 +157,7 @@ def _decode_one(
     cache: PagedKVCache,
     state: DecodeState,
     eos_id: int,
+    use_kernel: bool = False,
 ) -> Tuple[PagedKVCache, DecodeState, jax.Array]:
     """One decode step for the whole batch; returns sampled tokens [B]."""
     b = state.tokens.shape[0]
@@ -178,9 +179,21 @@ def _decode_one(
         cache = kvcache.write_token(
             cache, layer_idx, write_pages, write_slots, k[:, 0], v[:, 0]
         )
-        attn = _paged_attention(
-            spec, cache, layer_idx, q, state.page_tables, pos2d
-        )
+        if use_kernel:
+            from caesar_tpu.ops.paged_attention import paged_attention_decode
+
+            attn = paged_attention_decode(
+                q[:, 0],
+                cache.k_pages[layer_idx],
+                cache.v_pages[layer_idx],
+                state.page_tables,
+                state.positions,
+                cache.page_size,
+            )[:, None]
+        else:
+            attn = _paged_attention(
+                spec, cache, layer_idx, q, state.page_tables, pos2d
+            )
         x = x + linear(attn.reshape(b, 1, spec.q_dim), layer["wo"])
         h = rms_norm(x, layer["ln_mlp"], spec.rms_eps)
         x = x + mlp(layer["mlp"], h)
@@ -210,7 +223,9 @@ def _decode_one(
     return cache, new_state, emit
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=(2, 4))
+@functools.partial(
+    jax.jit, static_argnums=(0, 3, 6), donate_argnums=(2, 4)
+)
 def decode_steps(
     spec: ModelSpec,
     params: dict,
@@ -218,15 +233,20 @@ def decode_steps(
     n_steps: int,
     state: DecodeState,
     eos_id: jax.Array,
+    use_kernel: bool = False,
 ) -> Tuple[PagedKVCache, DecodeState, jax.Array]:
     """Scan n_steps decode steps; returns (cache, state, tokens [B, n_steps]).
 
     The host guarantees page_tables cover positions + n_steps before calling.
+    use_kernel selects the Pallas paged-attention path (single-device TPU);
+    the XLA gather path serves CPU tests and GSPMD-sharded meshes.
     """
 
     def body(carry, _):
         cache, state = carry
-        cache, state, emitted = _decode_one(spec, params, cache, state, eos_id)
+        cache, state, emitted = _decode_one(
+            spec, params, cache, state, eos_id, use_kernel
+        )
         return (cache, state), emitted
 
     (cache, state), tokens = jax.lax.scan(

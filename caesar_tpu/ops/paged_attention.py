@@ -1,0 +1,191 @@
+"""Paged-attention decode kernel: flash-style attention over KV pages.
+
+Why a kernel: the XLA fallback (kvcache.gather_kv) materializes every
+sequence's FULL static page table — [B, max_pages*page_size, n_kv, hd] —
+into HBM and reads it back for the einsum, so a decode step pays ~3x the
+theoretical KV traffic and pays it for max_seq_len even when sequences are
+short.  This kernel instead:
+
+* keeps the page pools in HBM (no blocked in_spec) and DMAs exactly the
+  pages a sequence uses — the loop bound is the per-sequence page count,
+  a traced value, not the static max;
+* double-buffers page DMA against compute (guide pattern), so the HBM
+  stream never stalls on the VPU/MXU work;
+* runs flash-style online softmax (running max / normalizer carried through
+  the page loop in f32), one grid step per sequence;
+* upcasts KV tiles to bf16 in VMEM right before use — FP8 page storage
+  halves the stream for free.
+
+Layout: one grid step per batch row; q [1, n_heads, hd] in VMEM; K/V page
+tiles [page_size, n_kv, hd].  GQA runs as [n_kv, group, hd] x
+[page, n_kv, hd] dot_generals per page.
+
+Page tables and positions arrive via scalar prefetch (SMEM) so the kernel
+can compute its own DMA source indices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(
+    # scalar prefetch
+    tables_ref,  # [B, max_pages] int32 (SMEM)
+    positions_ref,  # [B] int32 — position of the query token
+    # inputs
+    q_ref,  # [1, n_kv, group, hd] VMEM block (this sequence)
+    k_hbm,  # [n_pages, page, n_kv, hd] in HBM
+    v_hbm,
+    # output
+    out_ref,  # [1, n_kv, group, hd] VMEM block
+    # scratch
+    k_buf,  # [2, page, n_kv, hd] VMEM
+    v_buf,
+    sem,  # DMA sems [2, 2]
+    *,
+    page_size: int,
+):
+    b = pl.program_id(0)
+    q = q_ref[0].astype(jnp.float32)  # [n_kv, group, hd]
+    n_kv, group, hd = q.shape
+
+    q_pos = positions_ref[b]
+    length = q_pos + 1
+    n_pages = pl.cdiv(length, page_size)  # traced loop bound
+
+    def start_dma(slot, j):
+        page_id = tables_ref[b, j]
+        pltpu.make_async_copy(
+            k_hbm.at[page_id], k_buf.at[slot], sem.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            v_hbm.at[page_id], v_buf.at[slot], sem.at[slot, 1]
+        ).start()
+
+    def wait_dma(slot, j):
+        page_id = tables_ref[b, j]
+        pltpu.make_async_copy(
+            k_hbm.at[page_id], k_buf.at[slot], sem.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[page_id], v_buf.at[slot], sem.at[slot, 1]
+        ).wait()
+
+    start_dma(0, 0)
+
+    scale = 1.0 / (hd ** 0.5)
+
+    def body(j, carry):
+        m_prev, l_prev, acc_prev = carry
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_pages)
+        def _():
+            start_dma(1 - slot, j + 1)
+
+        wait_dma(slot, j)
+        k = k_buf[slot].astype(jnp.float32)  # [page, n_kv, hd]
+        v = v_buf[slot].astype(jnp.float32)
+
+        # scores [n_kv, group, page] — per-kv-head matmuls, statically
+        # unrolled (Mosaic's tpu.matmul has no batch dims)
+        scores = jnp.stack(
+            [
+                jax.lax.dot_general(
+                    q[h],  # [group, hd]
+                    k[:, h, :],  # [page, hd]
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for h in range(n_kv)
+            ]
+        ) * scale
+
+        token_pos = j * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (n_kv, group, page_size), dimension=2
+        )
+        scores = jnp.where(token_pos <= q_pos, scores, NEG_INF)
+
+        m_cur = jnp.max(scores, axis=-1)  # [n_kv, group]
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new[..., None])  # [n_kv, group, page]
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        # pv [n_kv, group, hd] — per-kv-head matmuls as above
+        pv = jnp.stack(
+            [
+                jax.lax.dot_general(
+                    p[h],  # [group, page]
+                    v[:, h, :],  # [page, hd]
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for h in range(n_kv)
+            ]
+        )
+        acc_new = acc_prev * alpha[..., None] + pv
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((n_kv, group), NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((n_kv, group), dtype=jnp.float32)
+    acc0 = jnp.zeros((n_kv, group, hd), dtype=jnp.float32)
+    _m, l_fin, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
+
+    out_ref[0] = (acc / l_fin[..., None]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "interpret"))
+def paged_attention_decode(
+    q: jax.Array,  # [B, n_heads, hd] (decode: one query token per sequence)
+    k_pages: jax.Array,  # [n_pages, page, n_kv, hd]
+    v_pages: jax.Array,
+    page_tables: jax.Array,  # [B, max_pages] int32
+    positions: jax.Array,  # [B] int32 query positions
+    page_size: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns attention output [B, n_heads, hd] (same dtype as q)."""
+    b, n_heads, hd = q.shape
+    n_kv = k_pages.shape[2]
+    group = n_heads // n_kv
+    q4 = q.reshape(b, n_kv, group, hd)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_kv, group, hd),
+                lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # K pool stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # V pool stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_kv, group, hd),
+            lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, page_size, n_kv, hd), k_pages.dtype),
+            pltpu.VMEM((2, page_size, n_kv, hd), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(_kernel, page_size=page_size)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_kv, group, hd), q.dtype),
+        interpret=interpret,
+    )(page_tables, positions, q4, k_pages, v_pages)
+    return out.reshape(b, n_heads, hd)

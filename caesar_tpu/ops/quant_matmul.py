@@ -47,7 +47,7 @@ def _int8_kernel(x_ref, qw_ref, s_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    w = qw_ref[:].astype(jnp.bfloat16) * s_ref[:].astype(jnp.bfloat16)
+    w = qw_ref[:].astype(jnp.bfloat16) * s_ref[0].astype(jnp.bfloat16)
     out_ref[:] += jnp.dot(
         x_ref[:], w, preferred_element_type=jnp.float32
     )
@@ -61,15 +61,17 @@ def _int4_kernel(x_ref, qw_ref, s_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     packed = qw_ref[:]  # [BK//2, BN] int8, two nibbles per byte
-    u = pltpu.bitcast(packed, jnp.uint8)
-    lo = (u & 0x0F).astype(jnp.int8)
-    hi = ((u >> 4) & 0x0F).astype(jnp.int8)
+    # Mosaic has no i8 vector shifts — unpack in i32 (sign-extend, mask to
+    # the raw byte, then split nibbles)
+    u = packed.astype(jnp.int32) & 0xFF
+    lo = u & 0x0F
+    hi = (u >> 4) & 0x0F
     lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.bfloat16)
     hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.bfloat16)
     # interleave rows: packed row r holds original rows 2r (lo) and 2r+1 (hi)
     half, bn = lo.shape
     w = jnp.stack([lo, hi], axis=1).reshape(half * 2, bn)
-    w = w * s_ref[:].astype(jnp.bfloat16)
+    w = w * s_ref[0].astype(jnp.bfloat16)
     out_ref[:] += jnp.dot(
         x_ref[:], w, preferred_element_type=jnp.float32
     )
@@ -107,7 +109,11 @@ def _quant_matmul_2d(
             pl.BlockSpec(
                 (qw_rows, BN), lambda i, j: (j, i), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, BN), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            # scales as [n_groups, 1, N] so the (1, BN) tile satisfies
+            # Mosaic's last-two-dims tiling rule via the singleton axis
+            pl.BlockSpec(
+                (1, 1, BN), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (m, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM
@@ -116,7 +122,7 @@ def _quant_matmul_2d(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(x, qweight, scales)
+    )(x, qweight, scales.reshape(-1, 1, n))
 
 
 def supports(w) -> bool:

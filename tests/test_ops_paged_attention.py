@@ -1,0 +1,113 @@
+"""Paged-attention kernel (interpret mode) vs the XLA gather reference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from caesar_tpu.engine import kvcache
+from caesar_tpu.engine.kvcache import PagedKVCache
+from caesar_tpu.ops.paged_attention import paged_attention_decode
+
+PAGE = 16
+N_PAGES = 32
+N_KV = 2
+GROUP = 4
+HD = 32
+B = 4
+
+
+def build_case(seed=0, lengths=(37, 5, 60, 16), dtype="f32"):
+    rng = np.random.default_rng(seed)
+    max_pages = N_PAGES // B
+    k_pages = rng.standard_normal((N_PAGES, PAGE, N_KV, HD)).astype(np.float32)
+    v_pages = rng.standard_normal((N_PAGES, PAGE, N_KV, HD)).astype(np.float32)
+    tables = np.zeros((B, max_pages), np.int32)
+    # disjoint page assignments per sequence
+    next_page = 1
+    for b in range(B):
+        used = -(-lengths[b] // PAGE)
+        for j in range(used):
+            tables[b, j] = next_page % N_PAGES
+            next_page += 1
+    q = rng.standard_normal((B, N_KV * GROUP, HD)).astype(np.float32)
+    positions = np.asarray([l - 1 for l in lengths], np.int32)
+    cache = PagedKVCache(
+        k_pages=jnp.asarray(k_pages),
+        v_pages=jnp.asarray(v_pages),
+        page_size=PAGE,
+    )
+    return cache, jnp.asarray(q), jnp.asarray(tables), jnp.asarray(positions)
+
+
+def xla_reference(cache, q, tables, positions):
+    from caesar_tpu.engine.step import _paged_attention
+    from caesar_tpu.engine.model import ModelSpec
+
+    spec = ModelSpec(
+        "t", vocab=1, dim=1, n_layers=1, n_heads=N_KV * GROUP, n_kv_heads=N_KV,
+        head_dim=HD, hidden=1,
+    )
+    # layer index 0 over a single-layer view of the pools
+    view = PagedKVCache(
+        k_pages=cache.k_pages[None],
+        v_pages=cache.v_pages[None],
+        page_size=cache.page_size,
+    )
+    out = _paged_attention(spec, view, 0, q[:, None], tables, positions[:, None])
+    return np.asarray(out[:, 0], dtype=np.float32)
+
+
+def test_kernel_matches_gather_reference():
+    cache, q, tables, positions = build_case()
+    expected = xla_reference(cache, q, tables, positions)
+    got = np.asarray(
+        paged_attention_decode(
+            q, cache.k_pages, cache.v_pages, tables, positions, PAGE,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
+
+
+def test_kernel_single_token_sequence():
+    cache, q, tables, positions = build_case(lengths=(1, 1, 1, 1))
+    expected = xla_reference(cache, q, tables, positions)
+    got = np.asarray(
+        paged_attention_decode(
+            q, cache.k_pages, cache.v_pages, tables, positions, PAGE,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
+
+
+def test_kernel_page_boundary_lengths():
+    cache, q, tables, positions = build_case(lengths=(16, 32, 48, 64))
+    expected = xla_reference(cache, q, tables, positions)
+    got = np.asarray(
+        paged_attention_decode(
+            q, cache.k_pages, cache.v_pages, tables, positions, PAGE,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
+
+
+def test_kernel_bf16_pages():
+    cache, q, tables, positions = build_case()
+    cache = PagedKVCache(
+        k_pages=cache.k_pages.astype(jnp.bfloat16),
+        v_pages=cache.v_pages.astype(jnp.bfloat16),
+        page_size=PAGE,
+    )
+    got = np.asarray(
+        paged_attention_decode(
+            q, cache.k_pages, cache.v_pages, tables, positions, PAGE,
+            interpret=True,
+        )
+    )
+    # compare against reference computed on the bf16-rounded pages
+    expected = xla_reference(cache, q, tables, positions)
+    np.testing.assert_allclose(got, expected, atol=2e-2, rtol=2e-2)
