@@ -162,10 +162,14 @@ class Engine:
             from caesar_tpu.parallel.plan import shard_cache
 
             self.cache = shard_cache(self.cache, mesh)
-        self.allocator = PageAllocator(n_pages)
+        # native C++ allocator/prefix-cache when built (native_bridge.py
+        # builds it on demand; Python twins otherwise — identical semantics)
+        from caesar_tpu.native_bridge import make_allocator, make_prefix_cache
+
+        self.allocator = make_allocator(n_pages)
         self._scratch_page = self.allocator.alloc(1)[0]  # page 0, never freed
         self.prefix_cache = (
-            PrefixCache(self.allocator, self.page_size)
+            make_prefix_cache(self.allocator, self.page_size)
             if econf.prefix_cache
             else None
         )
