@@ -7,20 +7,25 @@ bf16 halves (quarters) the bytes per step, which is the entire speedup — so
 the one job of this kernel is to keep weights quantized across the HBM->VMEM
 DMA and dequantize only in VMEM, tile by tile, right before the MXU.
 
-Design:
+Design (tile sizes and layouts chosen by microbenchmark,
+tools/microbench.py, on TPU v5e):
 
 * Grid (N/BN, K/BK) with K innermost; the f32 out tile accumulates across
-  K-steps (init at k==0).  Block sizes: BK = quant group size (one scale row
-  per K-tile, so dequant is a single broadcast multiply), BN = 256 lanes.
-* x tile [M, BK] stays resident across the N loop (index map ignores n);
-  M is the (padded) token batch — small for decode, prefill_chunk for
-  prefill.
-* INT8: w_tile = int8 [BK, BN] -> bf16 * scale -> MXU dot at bf16 with f32
-  accumulation.
-* INT4: the packed [BK/2, BN] byte tile unpacks with shift/mask into the
-  even/odd rows of a [BK, BN] tile.  Packing interleaved rows along K (see
-  quant.py) keeps both nibbles of a byte in the same group, so one scale
-  broadcast still covers the whole tile.
+  K-steps (init at k==0).  Large tiles (512x512 default) so the weight DMA
+  is a 256KB stream and Mosaic pipeline overhead vanishes — the first cut
+  used group-sized tiles and ran at <100 GB/s; this layout streams int8 at
+  ~400 GB/s.
+* One scale row per quant group: a BK-row tile spans BK/group groups, so
+  dequant is a [BK/group, group, BN]-shaped broadcast multiply.
+* INT4 avoids the row-interleave entirely: the activation is pre-split
+  outside the kernel into even/odd K columns (x_even, x_odd — tiny [M, K/2]
+  slices), and each packed byte tile contributes two MXU dots
+  (x_even @ dequant(lo) + x_odd @ dequant(hi)).  The stack/reshape
+  interleave of the naive unpack was VPU-bound at ~36 GB/s; the split-stream
+  form keeps the MXU fed.  Nibble shifts run in i32 (Mosaic has no i8
+  vector shifts).
+* The N grid axis is marked "parallel" (K "arbitrary") so Mosaic can
+  software-pipeline across output tiles.
 
 Falls back to the XLA dequant+dot path (quant.py) for shapes that do not
 tile evenly; runs in interpreter mode off-TPU so CPU tests execute the same
@@ -30,14 +35,34 @@ kernel logic.
 from __future__ import annotations
 
 import functools
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BN = 256  # output-lane tile
+#: candidate tile sizes, largest first (must divide N / K respectively)
+_BN_CANDIDATES = (1024, 768, 512, 256)
+_BK_CANDIDATES = (512, 256, 128)
 M_ALIGN = 8
+
+
+def _pick_tile(dim: int, candidates: Tuple[int, ...], multiple_of: int = 1
+               ) -> Optional[int]:
+    for c in candidates:
+        if dim % c == 0 and c % multiple_of == 0:
+            return c
+    return None
+
+
+def _apply_scales(w: jax.Array, s_ref) -> jax.Array:
+    """[BK', BN] bf16 tile * per-group scales [groups, 1, BN]."""
+    groups_per_tile = s_ref.shape[0]
+    bk, bn = w.shape
+    group = bk // groups_per_tile
+    w = w.reshape(groups_per_tile, group, bn) * s_ref[:].astype(jnp.bfloat16)
+    return w.reshape(bk, bn)
 
 
 def _int8_kernel(x_ref, qw_ref, s_ref, out_ref):
@@ -47,100 +72,156 @@ def _int8_kernel(x_ref, qw_ref, s_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    w = qw_ref[:].astype(jnp.bfloat16) * s_ref[0].astype(jnp.bfloat16)
-    out_ref[:] += jnp.dot(
-        x_ref[:], w, preferred_element_type=jnp.float32
-    )
+    w = _apply_scales(qw_ref[:].astype(jnp.bfloat16), s_ref)
+    out_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
 
 
-def _int4_kernel(x_ref, qw_ref, s_ref, out_ref):
-    k_idx = pl.program_id(1)
+def _make_int4_kernel(compute_dtype):
+    """Split-stream int4: lo nibbles pair with even K columns of x, hi with
+    odd.  compute_dtype is bf16 on TPU; f32 in interpreter mode (the XLA CPU
+    executor lacks some bf16 dot thunks)."""
 
-    @pl.when(k_idx == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+    def kernel(xe_ref, xo_ref, qw_ref, se_ref, so_ref, out_ref):
+        k_idx = pl.program_id(1)
 
-    packed = qw_ref[:]  # [BK//2, BN] int8, two nibbles per byte
-    # Mosaic has no i8 vector shifts — unpack in i32 (sign-extend, mask to
-    # the raw byte, then split nibbles)
-    u = packed.astype(jnp.int32) & 0xFF
-    lo = u & 0x0F
-    hi = (u >> 4) & 0x0F
-    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.bfloat16)
-    hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.bfloat16)
-    # interleave rows: packed row r holds original rows 2r (lo) and 2r+1 (hi)
-    half, bn = lo.shape
-    w = jnp.stack([lo, hi], axis=1).reshape(half * 2, bn)
-    w = w * s_ref[0].astype(jnp.bfloat16)
-    out_ref[:] += jnp.dot(
-        x_ref[:], w, preferred_element_type=jnp.float32
+        @pl.when(k_idx == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        u = qw_ref[:].astype(jnp.int32) & 0xFF  # [BK/2, BN]
+        lo = u & 0x0F
+        hi = (u >> 4) & 0x0F
+        lo = jnp.where(lo >= 8, lo - 16, lo).astype(compute_dtype)
+        hi = jnp.where(hi >= 8, hi - 16, hi).astype(compute_dtype)
+        w_lo = _apply_scales(lo, se_ref).astype(compute_dtype)
+        w_hi = _apply_scales(hi, so_ref).astype(compute_dtype)
+        acc = jnp.dot(
+            xe_ref[:].astype(compute_dtype), w_lo,
+            preferred_element_type=jnp.float32,
+        )
+        acc += jnp.dot(
+            xo_ref[:].astype(compute_dtype), w_hi,
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[:] += acc
+
+    return kernel
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bits", "group", "k", "n", "interpret")
+    jax.jit,
+    static_argnames=("group", "k", "n", "bk", "bn", "interpret"),
 )
-def _quant_matmul_2d(
-    x: jax.Array,  # [M, K] bf16 (M already aligned)
-    qweight: jax.Array,
-    scales: jax.Array,
-    bits: int,
-    group: int,
-    k: int,
-    n: int,
-    interpret: bool,
-) -> jax.Array:
+def _int8_matmul(x, qweight, scales, group, k, n, bk, bn, interpret):
     m = x.shape[0]
-    bk = group
-    grid = (n // BN, k // bk)
-    kernel = _int8_kernel if bits == 8 else _int4_kernel
-    qw_rows = bk if bits == 8 else bk // 2
-
+    grid = (n // bn, k // bk)
     flops = 2 * m * n * k
-    bytes_accessed = (
-        qweight.size + scales.size * 2 + m * k * 2 + m * n * 4
-    )
+    bytes_accessed = qweight.size + scales.size * 2 + m * k * 2 + m * n * 4
+    return pl.pallas_call(
+        _int8_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bk // group, 1, bn),
+                lambda i, j: (j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (m, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(x, qweight, scales.reshape(-1, 1, n))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "k", "n", "bk", "bn", "interpret"),
+)
+def _int4_matmul(x, qweight, scales, group, k, n, bk, bn, interpret):
+    m = x.shape[0]
+    grid = (n // bn, k // bk)
+    # split activations into the streams matching lo (even K) / odd nibbles
+    x_even = x[:, 0::2]  # [M, K/2]
+    x_odd = x[:, 1::2]
+    # scales of original rows 2r / 2r+1: both nibbles share the group, so
+    # even/odd scale streams are the SAME rows — pass the one table twice
+    # with half-group tiles (group/2 packed rows per group)
+    s3 = scales.reshape(-1, 1, n)
+    flops = 2 * m * n * k
+    bytes_accessed = qweight.size + scales.size * 2 + m * k * 2 + m * n * 4
+    kernel = _make_int4_kernel(jnp.float32 if interpret else jnp.bfloat16)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (qw_rows, BN), lambda i, j: (j, i), memory_space=pltpu.VMEM
+                (m, bk // 2), lambda i, j: (0, j), memory_space=pltpu.VMEM
             ),
-            # scales as [n_groups, 1, N] so the (1, BN) tile satisfies
-            # Mosaic's last-two-dims tiling rule via the singleton axis
             pl.BlockSpec(
-                (1, 1, BN), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+                (m, bk // 2), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bk // 2, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bk // group, 1, bn),
+                lambda i, j: (j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bk // group, 1, bn),
+                lambda i, j: (j, 0, i),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (m, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            (m, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
+        compiler_params=_compiler_params(),
         interpret=interpret,
-    )(x, qweight, scales.reshape(-1, 1, n))
+    )(x_even, x_odd, qweight, s3, s3)
+
+
+def _tiles_for(w) -> Optional[Tuple[int, int]]:
+    bn = _pick_tile(w.out_features, _BN_CANDIDATES)
+    bk = _pick_tile(w.in_features, _BK_CANDIDATES, multiple_of=w.group)
+    if bn is None or bk is None:
+        return None
+    return bk, bn
 
 
 def supports(w) -> bool:
     """Whether the kernel tiles this QuantizedLinear evenly."""
-    return (
-        w.out_features % BN == 0
-        and w.in_features % w.group == 0
-        and (w.bits == 8 or w.group % 2 == 0)
-    )
+    return w.in_features % w.group == 0 and _tiles_for(w) is not None
 
 
 def quant_matmul_pallas(x: jax.Array, w) -> jax.Array:
     """x [..., K] @ dequant(w) -> [..., N] f32 via the fused kernel."""
     from caesar_tpu.engine.quant import dequantize
 
-    if not supports(w):
+    tiles = _tiles_for(w) if w.in_features % w.group == 0 else None
+    if tiles is None:
         wf = dequantize(w, dtype=jnp.bfloat16)
         return jnp.dot(x, wf, preferred_element_type=jnp.float32)
+    bk, bn = tiles
 
     leading = x.shape[:-1]
     k = w.in_features
@@ -152,9 +233,8 @@ def quant_matmul_pallas(x: jax.Array, w) -> jax.Array:
         x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
 
     interpret = jax.default_backend() != "tpu"
-    out = _quant_matmul_2d(
-        x2, w.qweight, w.scales, w.bits, w.group, k, n, interpret
-    )
+    fn = _int8_matmul if w.bits == 8 else _int4_matmul
+    out = fn(x2, w.qweight, w.scales, w.group, k, n, bk, bn, interpret)
     if m_pad:
         out = out[:m]
     return out.reshape(*leading, n)
