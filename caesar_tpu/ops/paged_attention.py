@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+PREFETCH_DEPTH = 8  # in-flight page DMAs per sequence (latency hiding)
 
 
 def _kernel(
@@ -61,6 +62,8 @@ def _kernel(
     length = q_pos + 1
     n_pages = pl.cdiv(length, page_size)  # traced loop bound
 
+    n_slots = k_buf.shape[0]  # prefetch depth (latency hiding)
+
     def start_dma(slot, j):
         page_id = tables_ref[b, j]
         pltpu.make_async_copy(
@@ -79,21 +82,32 @@ def _kernel(
             v_hbm.at[page_id], v_buf.at[slot], sem.at[slot, 1]
         ).wait()
 
-    start_dma(0, 0)
+    # warm the pipeline: launch up to n_slots page DMAs up front — page DMAs
+    # are latency-bound (tens of KB each), so depth-2 double buffering leaves
+    # the stream idle; depth-8 keeps it full
+    def warm(j, _):
+        @pl.when(j < n_pages)
+        def _():
+            start_dma(j, j)
+        return 0
+
+    jax.lax.fori_loop(0, n_slots, warm, 0)
 
     scale = 1.0 / (hd ** 0.5)
 
     def body(j, carry):
         m_prev, l_prev, acc_prev = carry
-        slot = jax.lax.rem(j, 2)
-
-        @pl.when(j + 1 < n_pages)
-        def _():
-            start_dma(1 - slot, j + 1)
+        slot = jax.lax.rem(j, n_slots)
 
         wait_dma(slot, j)
         k = k_buf[slot].astype(jnp.float32)  # [page, n_kv, hd]
         v = v_buf[slot].astype(jnp.float32)
+
+        # reads above materialize into registers; the slot is now free to
+        # refill for page j + n_slots
+        @pl.when(j + n_slots < n_pages)
+        def _():
+            start_dma(slot, j + n_slots)
 
         # scores [n_kv, group, page] — per-kv-head matmuls, statically
         # unrolled (Mosaic's tpu.matmul has no batch dims)
@@ -176,9 +190,9 @@ def paged_attention_decode(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, page_size, n_kv, hd), k_pages.dtype),
-            pltpu.VMEM((2, page_size, n_kv, hd), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((PREFETCH_DEPTH, page_size, n_kv, hd), k_pages.dtype),
+            pltpu.VMEM((PREFETCH_DEPTH, page_size, n_kv, hd), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((PREFETCH_DEPTH, 2)),
         ],
     )
     kernel = functools.partial(_kernel, page_size=page_size)
