@@ -392,6 +392,7 @@ class Engine:
         positions = np.zeros(b, dtype=np.int32)
         tables = np.zeros((b, self.max_pages_per_seq), dtype=np.int32)
         active_mask = np.zeros(b, dtype=bool)
+        eos_floor = np.zeros(b, dtype=np.int32)
         temperature = np.zeros(b, dtype=np.float32)
         top_k = np.zeros(b, dtype=np.int32)
         top_p = np.ones(b, dtype=np.float32)
@@ -413,6 +414,7 @@ class Engine:
             tables[i, : len(seq.pages)] = seq.pages
             active_mask[i] = True
             req = seq.request
+            eos_floor[i] = len(seq.prompt) + getattr(req, "min_tokens", 0) - 1
             temperature[i] = req.temperature
             top_k[i] = req.top_k
             top_p[i] = req.top_p
@@ -424,6 +426,7 @@ class Engine:
             page_tables=jnp.asarray(tables),
             done=jnp.zeros(b, dtype=bool),
             active=jnp.asarray(active_mask),
+            eos_floor=jnp.asarray(eos_floor),
             temperature=jnp.asarray(temperature),
             top_k=jnp.asarray(top_k),
             top_p=jnp.asarray(top_p),

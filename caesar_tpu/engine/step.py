@@ -47,6 +47,7 @@ from caesar_tpu.engine.sampling import sample_tokens
         "page_tables",
         "done",
         "active",
+        "eos_floor",
         "temperature",
         "top_k",
         "top_p",
@@ -72,6 +73,9 @@ class DecodeState:
     page_tables: jax.Array
     done: jax.Array
     active: jax.Array
+    #: positions below this value have EOS suppressed in the logits
+    #: (min_tokens support: prompt_len + min_tokens - 1)
+    eos_floor: jax.Array
     temperature: jax.Array
     top_k: jax.Array
     top_p: jax.Array
@@ -201,6 +205,13 @@ def _decode_one(
     x = rms_norm(x, params["ln_out"], spec.rms_eps)
     logits = _lm_head(spec, params, x[:, 0])  # [B, vocab]
 
+    # min_tokens: force EOS out of the distribution until the floor
+    suppress = state.positions < state.eos_floor  # [B]
+    eos_col = logits[:, eos_id]
+    logits = logits.at[:, eos_id].set(
+        jnp.where(suppress, -jnp.inf, eos_col)
+    )
+
     rng, sub = jax.random.split(state.rng)
     sampled = sample_tokens(
         logits, sub, state.temperature, state.top_k, state.top_p
@@ -215,6 +226,7 @@ def _decode_one(
         page_tables=state.page_tables,
         done=new_done,
         active=state.active,
+        eos_floor=state.eos_floor,
         temperature=state.temperature,
         top_k=state.top_k,
         top_p=state.top_p,

@@ -37,6 +37,8 @@ class GenerateRequest:
     top_p: float = 1.0
     top_k: int = 50
     max_tokens: int = 4096
+    #: suppress EOS until this many tokens are generated (0 disables)
+    min_tokens: int = 1
     seed: int = 0
     #: stable id of the requesting trajectory — lets the engine route
     #: cross-turn prefix reuse per problem/sample

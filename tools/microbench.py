@@ -194,6 +194,7 @@ def bench_step():
         page_tables=jnp.asarray(tables),
         done=jnp.zeros(B, bool),
         active=jnp.ones(B, bool),
+        eos_floor=jnp.zeros(B, jnp.int32),
         temperature=jnp.zeros(B, jnp.float32),
         top_k=jnp.zeros(B, jnp.int32),
         top_p=jnp.ones(B, jnp.float32),
