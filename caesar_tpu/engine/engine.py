@@ -47,7 +47,7 @@ from caesar_tpu.engine.tokenizer import Tokenizer, load_tokenizer
 from caesar_tpu.engine.weights import load_model
 from caesar_tpu.harness.generate import GenerateRequest, GenerateResult
 
-DECODE_STEPS = 16  # tokens per decode dispatch (amortizes host latency)
+DECODE_STEPS = 32  # tokens per decode dispatch (amortizes host latency)
 
 
 def _enable_persistent_compile_cache() -> None:
@@ -143,6 +143,10 @@ class Engine:
             from caesar_tpu.parallel.plan import shard_params
 
             params = shard_params(spec, params, mesh)
+        else:
+            from caesar_tpu.engine.quant import fuse_params
+
+            params = fuse_params(params)
         self.params = params
         self.tokenizer = tokenizer or load_tokenizer(econf.model)
         self.decode_steps = decode_steps

@@ -183,25 +183,45 @@ def attention_full(
 
 
 def mlp(params: dict, x: jax.Array) -> jax.Array:
-    gate = linear(x, params["gate"])
-    up = linear(x, params["up"])
+    if "gate_up" in params:  # fused layout (quant.fuse_params)
+        gu = linear(x, params["gate_up"])
+        hidden = gu.shape[-1] // 2
+        gate, up = gu[..., :hidden], gu[..., hidden:]
+    else:
+        gate = linear(x, params["gate"])
+        up = linear(x, params["up"])
     return linear(jax.nn.silu(gate) * up, params["down"])
 
 
 def qkv_project(
     spec: ModelSpec, layer: dict, x: jax.Array, positions: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Project + RoPE.  x: [B, T, D] -> q [B,T,H,hd], k/v [B,T,KV,hd]."""
+    """Project + RoPE.  x: [B, T, D] -> q [B,T,H,hd], k/v [B,T,KV,hd].
+
+    Supports both the canonical per-projection layout (wq/wk/wv — used when
+    tensor-parallel sharding needs head-aligned splits) and the fused single
+    "wqkv" layout (one [D, q_dim+2*kv_dim] matmul — fewer, bigger kernel
+    launches for single-device serving; see quant.fuse_params)."""
     b, t, _ = x.shape
-    q = linear(x, layer["wq"], layer.get("bq")).reshape(
-        b, t, spec.n_heads, spec.head_dim
-    )
-    k = linear(x, layer["wk"], layer.get("bk")).reshape(
-        b, t, spec.n_kv_heads, spec.head_dim
-    )
-    v = linear(x, layer["wv"], layer.get("bv")).reshape(
-        b, t, spec.n_kv_heads, spec.head_dim
-    )
+    if "wqkv" in layer:
+        qkv = linear(x, layer["wqkv"], layer.get("bqkv"))
+        q = qkv[..., : spec.q_dim].reshape(b, t, spec.n_heads, spec.head_dim)
+        k = qkv[..., spec.q_dim : spec.q_dim + spec.kv_dim].reshape(
+            b, t, spec.n_kv_heads, spec.head_dim
+        )
+        v = qkv[..., spec.q_dim + spec.kv_dim :].reshape(
+            b, t, spec.n_kv_heads, spec.head_dim
+        )
+    else:
+        q = linear(x, layer["wq"], layer.get("bq")).reshape(
+            b, t, spec.n_heads, spec.head_dim
+        )
+        k = linear(x, layer["wk"], layer.get("bk")).reshape(
+            b, t, spec.n_kv_heads, spec.head_dim
+        )
+        v = linear(x, layer["wv"], layer.get("bv")).reshape(
+            b, t, spec.n_kv_heads, spec.head_dim
+        )
     cos, sin = rope_tables(positions, spec.head_dim, spec.rope_theta)
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
@@ -231,5 +251,8 @@ def forward_cacheless(
     for layer in params["layers"]:
         x = block_cacheless(spec, layer, x, positions)
     x = rms_norm(x, params["ln_out"], spec.rms_eps)
-    head = params["embed"].T if spec.tie_embeddings else params["unembed"]
-    return jnp.dot(x, head, preferred_element_type=jnp.float32)
+    if spec.tie_embeddings:
+        return jnp.dot(
+            x, params["embed"].T, preferred_element_type=jnp.float32
+        )
+    return linear(x, params["unembed"]).astype(jnp.float32)

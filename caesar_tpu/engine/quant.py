@@ -158,3 +158,55 @@ def quantize_params(params, bits: Literal[4, 8], group: int = DEFAULT_GROUP):
     out = dict(params)
     out["layers"] = quantized_layers
     return out
+
+
+def _concat_out(parts):
+    """Concatenate [in, out_i] weights (dense or quantized) along out."""
+    if isinstance(parts[0], QuantizedLinear):
+        bits = parts[0].bits
+        group = parts[0].group
+        assert all(p.bits == bits and p.group == group for p in parts)
+        return QuantizedLinear(
+            qweight=jnp.concatenate([p.qweight for p in parts], axis=1),
+            scales=jnp.concatenate([p.scales for p in parts], axis=1),
+            bits=bits,
+            group=group,
+            out_features=sum(p.out_features for p in parts),
+            in_features=parts[0].in_features,
+        )
+    return jnp.concatenate(parts, axis=1)
+
+
+def fuse_params(params: dict) -> dict:
+    """Fuse per-layer projections for single-device serving: wq/wk/wv ->
+    wqkv and gate/up -> gate_up.  One big matmul launches faster than three
+    small ones (per-kernel overhead and better tiling), and the split after
+    the matmul is free under XLA fusion.  NOT applied under tensor-parallel
+    sharding — column splits of the fused weight would cross q/k/v head
+    boundaries and force resharding at the split.
+
+    Works uniformly on dense and quantized layers (group scales are along
+    the in-dim, untouched by an out-dim concat).
+    """
+    out = dict(params)
+    layers = []
+    for layer in params["layers"]:
+        new = dict(layer)
+        new["wqkv"] = _concat_out([layer["wq"], layer["wk"], layer["wv"]])
+        for key in ("wq", "wk", "wv"):
+            del new[key]
+        if "bq" in layer:
+            new["bqkv"] = jnp.concatenate(
+                [layer["bq"], layer["bk"], layer["bv"]]
+            )
+            for key in ("bq", "bk", "bv"):
+                del new[key]
+        new_mlp = dict(layer["mlp"])
+        new_mlp["gate_up"] = _concat_out(
+            [layer["mlp"]["gate"], layer["mlp"]["up"]]
+        )
+        del new_mlp["gate"], new_mlp["up"]
+        new["mlp"] = new_mlp
+        layers.append(new)
+    out["layers"] = layers
+    return out

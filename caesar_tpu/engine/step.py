@@ -83,8 +83,12 @@ class DecodeState:
 
 
 def _lm_head(spec: ModelSpec, params: dict, x: jax.Array) -> jax.Array:
-    head = params["embed"].T if spec.tie_embeddings else params["unembed"]
-    return jnp.dot(x, head, preferred_element_type=jnp.float32)
+    if spec.tie_embeddings:
+        return jnp.dot(
+            x, params["embed"].T, preferred_element_type=jnp.float32
+        )
+    # untied head may be a QuantizedLinear (engine.quant_head)
+    return linear(x, params["unembed"]).astype(jnp.float32)
 
 
 def _paged_attention(

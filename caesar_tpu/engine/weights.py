@@ -197,6 +197,22 @@ def load_hf_checkpoint(
     return spec, params
 
 
+def _maybe_quantize_head(spec: ModelSpec, params: dict, quant_bits) -> dict:
+    """Quantize the untied lm head (it is read whole every decode step —
+    e.g. 1.1 GB bf16 at 7B — so weight-only quant applies to it too)."""
+    from caesar_tpu.engine.quant import quantize_weight
+
+    if quant_bits is None or spec.tie_embeddings or "unembed" not in params:
+        return params
+    w = params["unembed"]
+    if w.shape[1] % 256 == 0:  # kernel-tileable vocab
+        params = dict(params)
+        params["unembed"] = quantize_weight(
+            np.asarray(w, dtype=np.float32), bits=quant_bits
+        )
+    return params
+
+
 def load_model(
     model: str,
     seed: int = 0,
@@ -213,6 +229,7 @@ def load_model(
             from caesar_tpu.engine.quant import quantize_params
 
             params = quantize_params(params, bits=quant_bits)
+            params = _maybe_quantize_head(spec, params, quant_bits)
         return spec, params
     spec = MODEL_PRESETS.get(model)
     if spec is None:
@@ -224,4 +241,5 @@ def load_model(
         raise FileNotFoundError(
             f"No checkpoint for {model!r} and allow_random_init=False"
         )
-    return spec, init_params(spec, seed=seed, dtype=dtype, quant_bits=quant_bits)
+    params = init_params(spec, seed=seed, dtype=dtype, quant_bits=quant_bits)
+    return spec, _maybe_quantize_head(spec, params, quant_bits)
