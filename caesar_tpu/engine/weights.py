@@ -213,6 +213,133 @@ def _maybe_quantize_head(spec: ModelSpec, params: dict, quant_bits) -> dict:
     return params
 
 
+# ----------------------------------------------------------------------
+# params disk cache (random-init models): initializing + quantizing a 7B
+# model host-side takes minutes on a small VM; the int arrays round-trip
+# through one npz instead
+# ----------------------------------------------------------------------
+
+
+def _params_cache_path(model: str, quant: str, seed: int) -> Optional[Path]:
+    base = os.environ.get(
+        "CAESAR_WEIGHTS_CACHE", os.path.expanduser("~/.cache/caesar_weights")
+    )
+    if not base:
+        return None
+    return Path(base) / f"{model}-{quant}-s{seed}.npz"
+
+
+def _save_params_cache(path: Path, params: dict) -> None:
+    from caesar_tpu.engine.quant import QuantizedLinear
+
+    flat = {}
+
+    def walk(prefix: str, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}.{k}" if prefix else k, v)
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(f"{prefix}.{i}", v)
+        elif isinstance(node, QuantizedLinear):
+            flat[f"{prefix}#q{node.bits}g{node.group}"] = np.asarray(node.qweight)
+            flat[f"{prefix}#s"] = np.asarray(node.scales.astype(jnp.float32))
+        else:
+            flat[prefix] = np.asarray(
+                node.astype(jnp.float32) if node.dtype == jnp.bfloat16 else node
+            )
+    walk("", params)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def _load_params_cache(path: Path, dtype) -> dict:
+    from caesar_tpu.engine.quant import QuantizedLinear
+
+    data = np.load(path)
+    params: dict = {}
+
+    def ensure(container, key_parts):
+        node = container
+        for i, part in enumerate(key_parts[:-1]):
+            nxt = key_parts[i + 1]
+            if part.isdigit():
+                part = int(part)
+                while len(node) <= part:
+                    node.append({} if not nxt.isdigit() else [])
+                node = node[part]
+            else:
+                node = node.setdefault(part, [] if nxt.isdigit() else {})
+        return node, key_parts[-1]
+
+    qmeta = {}
+    for key in data.files:
+        name, _, tag = key.partition("#")
+        parts = name.split(".")
+        node, leaf = ensure(params, parts)
+        if tag.startswith("q"):
+            bits, group = tag[1:].split("g")
+            qmeta[name] = (int(bits), int(group))
+            entry = node.get(leaf) if isinstance(node, dict) else None
+            value = {"qweight": jnp.asarray(data[key])}
+            if isinstance(entry, dict):
+                entry.update(value)
+            else:
+                _set(node, leaf, value)
+        elif tag == "s":
+            entry = node.get(leaf) if isinstance(node, dict) else None
+            value = {"scales": jnp.asarray(data[key], dtype=jnp.bfloat16)}
+            if isinstance(entry, dict):
+                entry.update(value)
+            else:
+                _set(node, leaf, value)
+        else:
+            arr = data[key]
+            out_dtype = dtype if arr.dtype == np.float32 else arr.dtype
+            _set(node, leaf, jnp.asarray(arr, dtype=out_dtype))
+
+    def _finalize(node):
+        if isinstance(node, dict):
+            if set(node.keys()) == {"qweight", "scales"}:
+                return node  # patched below with metadata
+            return {k: _finalize(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [_finalize(v) for v in node]
+        return node
+
+    def _patch(prefix, node):
+        if isinstance(node, dict):
+            if set(node.keys()) == {"qweight", "scales"} and prefix in qmeta:
+                bits, group = qmeta[prefix]
+                qw = node["qweight"]
+                d_in = qw.shape[0] * (2 if bits == 4 else 1)
+                from caesar_tpu.engine.quant import QuantizedLinear as QL
+
+                return QL(
+                    qweight=qw, scales=node["scales"], bits=bits, group=group,
+                    out_features=qw.shape[1], in_features=d_in,
+                )
+            return {k: _patch(f"{prefix}.{k}" if prefix else k, v)
+                    for k, v in node.items()}
+        if isinstance(node, list):
+            return [_patch(f"{prefix}.{i}", v) for i, v in enumerate(node)]
+        return node
+
+    return _patch("", _finalize(params))
+
+
+def _set(node, leaf, value):
+    if isinstance(node, list):
+        leaf = int(leaf)
+        while len(node) <= leaf:
+            node.append(None)
+        node[leaf] = value
+    else:
+        node[leaf] = value
+
+
 def load_model(
     model: str,
     seed: int = 0,
@@ -241,5 +368,17 @@ def load_model(
         raise FileNotFoundError(
             f"No checkpoint for {model!r} and allow_random_init=False"
         )
+    cache_path = _params_cache_path(model, quant, seed)
+    if cache_path is not None and cache_path.exists():
+        try:
+            return spec, _load_params_cache(cache_path, dtype)
+        except Exception:
+            pass  # fall through to regeneration
     params = init_params(spec, seed=seed, dtype=dtype, quant_bits=quant_bits)
-    return spec, _maybe_quantize_head(spec, params, quant_bits)
+    params = _maybe_quantize_head(spec, params, quant_bits)
+    if cache_path is not None:
+        try:
+            _save_params_cache(cache_path, params)
+        except Exception:
+            pass  # cache failures never break loading
+    return spec, params

@@ -104,13 +104,17 @@ async def run_all(
 
     done_count = 0
     failed: List[str] = []
+    turn_latencies: List[float] = []
     t_start = time.monotonic()
 
     async def worker(work: WorkItem) -> None:
         nonlocal done_count
         async with worker_sem:
             try:
-                await run_single_work(config, work, generator, sandbox, resources)
+                stm = await run_single_work(
+                    config, work, generator, sandbox, resources
+                )
+                turn_latencies.extend(stm.turn_wall_s)
             except Exception as e:  # a crashed trajectory must not sink the run
                 failed.append(f"{work.problem_id}/{work.sample_id}: {e!r}")
                 if config.verbose:
@@ -144,11 +148,17 @@ async def run_all(
             await generator.close()
 
     elapsed = time.monotonic() - t_start
+    turn_latencies.sort()
+    p50_turn = (
+        turn_latencies[len(turn_latencies) // 2] if turn_latencies else None
+    )
     stats = {
         "trajectories": len(work_list),
         "failed": failed,
         "elapsed_s": elapsed,
         "trajectories_per_hour": len(work_list) / elapsed * 3600 if elapsed else 0.0,
+        "turns_completed": len(turn_latencies),
+        "p50_turn_latency_s": p50_turn,
     }
     if failed:
         print(f"[RUN {config.run_name}] {len(failed)} trajectories errored:",

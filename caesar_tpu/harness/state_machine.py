@@ -66,6 +66,10 @@ class TrajectoryStateMachine:
 
         self.curr_prompt = ""
         self.info = TrajectoryInfo()
+        #: wall seconds per completed turn (p50 turn latency is a headline
+        #: metric, BASELINE.md targets)
+        self.turn_wall_s: list = []
+        self._turn_t0: Optional[float] = None
 
         # DONE short-circuit (reference state_machine.py:70-75)
         if self.journal.is_done():
@@ -154,6 +158,7 @@ class TrajectoryStateMachine:
             context_mode=self.config.context_mode,
         )
         self.info.prompt[self.current_k] = self.curr_prompt
+        self._turn_t0 = time.monotonic()
         self.outcome = Outcome.Start
 
     async def _generate(self) -> None:
@@ -258,6 +263,9 @@ class TrajectoryStateMachine:
         """Persist the turn; advance; DONE after the last turn (reference
         finish_turn_logic, state_machine.py:440-464)."""
         self.journal.update_turn_and_save(self.current_k, self.info)
+        if self._turn_t0 is not None:
+            self.turn_wall_s.append(time.monotonic() - self._turn_t0)
+            self._turn_t0 = None
         self.outcome = Outcome.Finish
         self.current_k += 1
         if self.current_k > self.max_k:
