@@ -39,7 +39,7 @@ import numpy as np
 
 from caesar_tpu.config import EngineConfig
 from caesar_tpu.engine import kvcache, step as step_mod
-from caesar_tpu.engine.allocator import PageAllocator, PrefixCache
+from caesar_tpu.engine.allocator import OutOfPages, PageAllocator, PrefixCache
 from caesar_tpu.engine.model import ModelSpec
 from caesar_tpu.engine.quant import QuantizedLinear, quantize_params
 from caesar_tpu.engine.step import DecodeState
@@ -78,9 +78,16 @@ class _Sequence:
     slot: int = -1
     submitted_at: float = dataclasses.field(default_factory=time.monotonic)
 
+    def all_tokens(self) -> List[int]:
+        """prompt + generated — the token stream whose KV must be resident.
+        After a preemption (pages released under memory pressure) the
+        generated tokens are re-prefilled from here: preemption-by-recompute.
+        """
+        return self.prompt + self.generated
+
     @property
     def prompt_done(self) -> bool:
-        return self.n_cached + self.prefilled >= len(self.prompt)
+        return self.n_cached + self.prefilled >= len(self.all_tokens())
 
 
 class EngineStats:
@@ -90,6 +97,7 @@ class EngineStats:
         self.completed = 0
         self.decode_dispatches = 0
         self.prefill_dispatches = 0
+        self.preemptions = 0
         self.decode_time_s = 0.0
         self.prefill_time_s = 0.0
         self.batch_occupancy_sum = 0.0
@@ -189,10 +197,12 @@ class Engine:
             and not _os.environ.get("CAESAR_DISABLE_PAGED_KERNEL")
             and jax.default_backend() == "tpu"
         )
+        self._trace = bool(_os.environ.get("CAESAR_ENGINE_TRACE"))
 
         # host-authoritative slot state
         self._slots: List[Optional[_Sequence]] = [None] * self.max_batch
         self._pending: "queue.Queue[_Sequence]" = queue.Queue()
+        self._preempted: List[_Sequence] = []  # readmit before new work
         self._prefilling: Optional[_Sequence] = None
 
         self._wake = threading.Event()
@@ -274,6 +284,7 @@ class Engine:
                     or (
                         not self._pending.empty()
                         and any(s is None for s in self._slots)
+                        and progressed  # admission succeeded; keep filling
                     )
                 ):
                     # keep filling the batch before burning decode steps on
@@ -304,21 +315,51 @@ class Engine:
             return self.prefix_cache.alloc_with_eviction(n)
         return self.allocator.alloc(n)
 
+    def _pages_evictable(self) -> int:
+        return len(self.prefix_cache) if self.prefix_cache is not None else 0
+
     def _admit(self) -> bool:
-        """Start prefilling the next pending request if a slot is free."""
+        """Start prefilling the next waiting sequence if a slot is free AND
+        the page pool can plausibly hold it (admission control: a request
+        that cannot fit must wait, never kill the engine)."""
         if self._prefilling is not None:
             return False
         if all(s is not None for s in self._slots):
             return False
-        try:
-            seq = self._pending.get_nowait()
-        except queue.Empty:
+        if self._preempted:
+            seq = self._preempted.pop(0)
+        else:
+            try:
+                seq = self._pending.get_nowait()
+            except queue.Empty:
+                return False
+
+        total = seq.all_tokens()
+        # a sequence that could never fit the pool fails loudly instead of
+        # livelocking through preemption
+        worst_case_pages = (
+            -(-(len(seq.prompt) + seq.request.max_tokens) // self.page_size) + 1
+        )
+        if worst_case_pages > self.allocator.n_pages - 1:
+            if not seq.future.done():
+                seq.future.set_exception(
+                    RuntimeError(
+                        f"sequence needs {worst_case_pages} KV pages but the "
+                        f"pool holds {self.allocator.n_pages}"
+                    )
+                )
+            return True
+
+        needed_now = -(-len(total) // self.page_size) + 2  # + decode headroom
+        if needed_now > self.allocator.free_pages + self._pages_evictable():
+            # pool pressure: wait for retirements
+            self._preempted.insert(0, seq)
             return False
 
         if self.prefix_cache is not None:
-            pages, n_cached = self.prefix_cache.match(seq.prompt)
+            pages, n_cached = self.prefix_cache.match(total)
             # always recompute at least the last token so decode can re-feed it
-            while n_cached >= len(seq.prompt) and pages:
+            while n_cached >= len(total) and pages:
                 page = pages.pop()
                 self.allocator.decref(page)
                 n_cached -= self.page_size
@@ -334,8 +375,9 @@ class Engine:
             return False
         t0 = time.monotonic()
 
+        all_tokens = seq.all_tokens()
         start = seq.n_cached + seq.prefilled
-        remaining = seq.prompt[start:]
+        remaining = all_tokens[start:]
         chunk_tokens = remaining[: self.prefill_chunk]
         real_t = len(chunk_tokens)
         pad = self.prefill_chunk - real_t
@@ -345,7 +387,13 @@ class Engine:
         positions = np.arange(start, start + self.prefill_chunk, dtype=np.int32)
 
         n_chunk_pages = self.prefill_chunk // self.page_size
-        new_pages = self._alloc(n_chunk_pages)
+        try:
+            new_pages = self._alloc(n_chunk_pages)
+        except OutOfPages:
+            # pool pressure mid-prefill: release and retry later
+            self._prefilling = None
+            self._preempt(seq)
+            return True
         seq.pages.extend(new_pages)
 
         table = np.zeros(self.max_pages_per_seq, dtype=np.int32)
@@ -369,7 +417,7 @@ class Engine:
         if seq.prompt_done:
             # trim over-allocated pages beyond the prompt (pad pages stay —
             # they are within the last chunk; drop whole-page overshoot)
-            needed = -(-len(seq.prompt) // self.page_size)
+            needed = -(-len(all_tokens) // self.page_size)
             while len(seq.pages) > needed:
                 self.allocator.decref(seq.pages.pop())
             slot = self._slots.index(None)
@@ -414,7 +462,13 @@ class Engine:
             last_write = positions[i] + n - 1
             needed = min(last_write // self.page_size + 1, self.max_pages_per_seq)
             if needed > len(seq.pages):
-                seq.pages.extend(self._alloc(needed - len(seq.pages)))
+                try:
+                    seq.pages.extend(self._alloc(needed - len(seq.pages)))
+                except OutOfPages:
+                    # pressure: preempt this sequence (recomputed later),
+                    # freeing its pages for the rest of the batch
+                    self._preempt(seq)
+                    continue
             tables[i, : len(seq.pages)] = seq.pages
             active_mask[i] = True
             req = seq.request
@@ -423,6 +477,7 @@ class Engine:
             top_k[i] = req.top_k
             top_p[i] = req.top_p
 
+        t_staged = time.monotonic()
         self._rng, sub = jax.random.split(self._rng)
         state = DecodeState(
             tokens=jnp.asarray(tokens),
@@ -445,7 +500,15 @@ class Engine:
             jnp.asarray(self.tokenizer.eos_id, dtype=jnp.int32),
             self._use_paged_kernel,
         )
+        t_dispatched = time.monotonic()
         out = np.asarray(out)  # [B, n] — the one host sync per chunk
+        if self._trace:
+            print(
+                f"[ENGINE chunk] stage {1e3 * (t_staged - t0):.1f} ms, "
+                f"dispatch {1e3 * (t_dispatched - t_staged):.1f} ms, "
+                f"execute+fetch {1e3 * (time.monotonic() - t_dispatched):.1f} ms",
+                flush=True,
+            )
 
         emitted = 0
         for seq in list(active):
@@ -476,6 +539,21 @@ class Engine:
         return True
 
     # ------------------------------------------------------------------
+    def _preempt(self, seq: _Sequence) -> None:
+        """Release a sequence's pages under pool pressure; it re-enters
+        admission and recomputes its KV from prompt+generated (vLLM-style
+        preemption-by-recompute: tokens survive, pages do not)."""
+        if seq.slot >= 0 and self._slots[seq.slot] is seq:
+            self._slots[seq.slot] = None
+        seq.slot = -1
+        for page in seq.pages:
+            self.allocator.decref(page)
+        seq.pages = []
+        seq.n_cached = 0
+        seq.prefilled = 0
+        self.stats.preemptions += 1
+        self._preempted.append(seq)
+
     def _retire(self, seq: _Sequence) -> None:
         self._slots[seq.slot] = None
         generated = seq.generated
@@ -485,7 +563,7 @@ class Engine:
 
         if self.prefix_cache is not None:
             # share this sequence's full prompt+completion pages
-            all_tokens = seq.prompt + seq.generated
+            all_tokens = seq.all_tokens()
             full = len(all_tokens) // self.page_size
             self.prefix_cache.insert(all_tokens[: full * self.page_size],
                                      seq.pages[:full])

@@ -1,0 +1,106 @@
+"""Trajectory-throughput benchmark: concurrent vs sequential harness runs.
+
+BASELINE.json's second headline: ">=8x trajectory throughput vs sequential
+API calls".  Runs the SAME sweep (engine generation + mock eval) twice:
+
+  sequential — num_workers=1: each trajectory's turns run alone, the decode
+               batch holds one sequence (the reference's blocking
+               one-call-at-a-time shape);
+  concurrent — num_workers=N: all trajectories multiplexed onto the engine's
+               continuous batch.
+
+Prints one JSON line with both rates and the speedup.
+
+    python tools/bench_harness.py [model] [workers]
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_sweep(model: str, workers: int, tmp: str, tag: str) -> dict:
+    from caesar_tpu.config import RunConfig
+    from caesar_tpu.harness.driver import run_all
+    from caesar_tpu.harness.generate import make_generator
+
+    cfg = RunConfig()
+    cfg.run_group = "bench"
+    cfg.run_name = tag
+    cfg.prompt_strategy = [
+        "SHOW_INLINE_SYNTAX",
+        "COMPILER_FEEDBACK",
+        "CORRECTNESS_FEEDBACK",
+        "PROFILER_FEEDBACK",
+    ]
+    cfg.backend = "engine"
+    cfg.eval_backend = "mock"
+    cfg.dataset_name = "kernelbench-tpu/level1-subset"
+    cfg.max_k = 2
+    cfg.max_tokens = 64
+    cfg.greedy_sample = True
+    cfg.num_workers = workers
+    cfg.log_dir_prefix = os.path.join(tmp, tag, "logs")
+    cfg.build_dir_prefix = os.path.join(tmp, tag, "build")
+    cfg.engine.model = model
+    cfg.engine.max_batch = max(2, min(workers, 48))
+    cfg.engine.max_seq_len = 8192
+    cfg.engine.prefill_chunk = 1024
+    cfg.finalize()
+
+    generator = make_generator(cfg)
+    try:
+        t0 = time.monotonic()
+        stats = asyncio.run(run_all(cfg, generator=generator, progress_interval=0))
+        stats["wall_s"] = time.monotonic() - t0
+        engines = getattr(generator, "engines", [])
+        if engines:
+            stats["engine"] = engines[0].stats.snapshot(engines[0].prefix_cache)
+        return stats
+    finally:
+        asyncio.run(generator.close())
+
+
+def main() -> None:
+    model = sys.argv[1] if len(sys.argv) > 1 else "qwen2.5-coder-1.5b"
+    workers = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+
+    tmp = tempfile.mkdtemp(prefix="caesar_bench_")
+    try:
+        concurrent = run_sweep(model, workers, tmp, "concurrent")
+        sequential = run_sweep(model, 1, tmp, "sequential")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    conc_rate = concurrent["trajectories_per_hour"]
+    seq_rate = sequential["trajectories_per_hour"]
+    result = {
+        "metric": f"trajectory_throughput_speedup_{model}",
+        "value": round(conc_rate / seq_rate, 2) if seq_rate else 0.0,
+        "unit": "x vs sequential",
+        "vs_baseline": round(conc_rate / seq_rate / 8.0, 3) if seq_rate else 0.0,
+        "extras": {
+            "concurrent_trajectories_per_hour": round(conc_rate, 1),
+            "sequential_trajectories_per_hour": round(seq_rate, 1),
+            "workers": workers,
+            "p50_turn_latency_s_concurrent": concurrent.get("p50_turn_latency_s"),
+            "p50_turn_latency_s_sequential": sequential.get("p50_turn_latency_s"),
+            "prefix_hit_rate": concurrent.get("engine", {}).get(
+                "prefix_hit_rate"
+            ),
+            "failed": len(concurrent["failed"]) + len(sequential["failed"]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

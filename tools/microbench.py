@@ -180,8 +180,10 @@ def bench_step():
     from caesar_tpu.engine.weights import load_model
 
     spec, params = load_model("qwen2.5-coder-7b", quant="int8")
+    from caesar_tpu.engine.quant import fuse_params
+
+    params = fuse_params(params)
     B, PAGE, MAXP = 32, 64, 32
-    cache = kvcache.create_cache(spec, 4096, PAGE, "bf16")
     tables = np.zeros((B, MAXP), np.int32)
     nextp = 1
     for b in range(B):
@@ -201,7 +203,7 @@ def bench_step():
         rng=jax.random.PRNGKey(0),
     )
     for use_kernel in (True, False):
-        c = cache
+        c = kvcache.create_cache(spec, 512, PAGE, "bf16")  # fresh (donated)
         s = state
         t0 = time.perf_counter()
         c, s, out = step_mod.decode_steps(
