@@ -192,10 +192,13 @@ class Engine:
         # meshes use the XLA gather path until the kernel is shard_map'd)
         import os as _os
 
+        from caesar_tpu.ops.paged_attention import supports as _pa_supports
+
         self._use_paged_kernel = (
             mesh is None
             and not _os.environ.get("CAESAR_DISABLE_PAGED_KERNEL")
             and jax.default_backend() == "tpu"
+            and _pa_supports(spec, self.page_size)
         )
         self._trace = bool(_os.environ.get("CAESAR_ENGINE_TRACE"))
 

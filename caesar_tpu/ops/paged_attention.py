@@ -156,6 +156,16 @@ def _kernel(
     out_ref[0] = (acc / l_fin[..., None]).astype(out_ref.dtype)
 
 
+def supports(spec, page_size: int) -> bool:
+    """Mosaic tiling constraints: the lane dim (head_dim) must be
+    128-aligned and pages sublane-aligned."""
+    return (
+        spec.head_dim % 128 == 0
+        and page_size % 8 == 0
+        and spec.n_heads % spec.n_kv_heads == 0
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("page_size", "interpret"))
 def paged_attention_decode(
     q: jax.Array,  # [B, n_heads, hd] (decode: one query token per sequence)
