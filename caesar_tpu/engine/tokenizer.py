@@ -41,7 +41,8 @@ class ByteTokenizer:
 
 
 class HFTokenizer:
-    """tokenizers-backed wrapper over a checkpoint's tokenizer.json."""
+    """tokenizers-backed wrapper over a tokenizer.json (a checkpoint's own,
+    or the shipped domain-trained BPE in assets/)."""
 
     def __init__(self, path: str | os.PathLike):
         from tokenizers import Tokenizer as _Tok
@@ -65,14 +66,26 @@ class HFTokenizer:
         return self._tok.encode(text).ids
 
     def decode(self, ids: List[int]) -> str:
-        return self._tok.decode(ids)
+        # random-init models can sample ids past the tokenizer's vocab
+        # (model vocab >= tokenizer vocab); drop them rather than raising
+        valid = [i for i in ids if 0 <= i < self.vocab_size]
+        return self._tok.decode(valid)
+
+
+#: the domain-trained BPE shipped for preset (checkpoint-less) models
+SHIPPED_TOKENIZER = (
+    Path(__file__).resolve().parents[2] / "assets" / "tokenizer.json"
+)
 
 
 def load_tokenizer(model: str) -> Tokenizer:
     """Checkpoint dirs with tokenizer.json get the HF tokenizer; preset
-    names (no downloaded vocab) get the byte tokenizer."""
+    names use the shipped domain-trained BPE (tools/train_tokenizer.py),
+    byte fallback if assets/ is absent."""
     if os.path.isdir(model):
         tok_path = Path(model) / "tokenizer.json"
         if tok_path.exists():
             return HFTokenizer(tok_path)
+    if SHIPPED_TOKENIZER.exists():
+        return HFTokenizer(SHIPPED_TOKENIZER)
     return ByteTokenizer()

@@ -184,6 +184,9 @@ def bench_step():
 
     params = fuse_params(params)
     B, PAGE, MAXP = 32, 64, 32
+    pool_sizes = [int(x) for x in os.environ.get(
+        "CAESAR_STEP_POOLS", "512,1536"
+    ).split(",")]
     tables = np.zeros((B, MAXP), np.int32)
     nextp = 1
     for b in range(B):
@@ -202,28 +205,34 @@ def bench_step():
         top_p=jnp.ones(B, jnp.float32),
         rng=jax.random.PRNGKey(0),
     )
-    for use_kernel in (True, False):
-        c = kvcache.create_cache(spec, 512, PAGE, "bf16")  # fresh (donated)
-        s = state
-        t0 = time.perf_counter()
-        c, s, out = step_mod.decode_steps(
-            spec, params, c, 16, s, jnp.asarray(257, jnp.int32), use_kernel
-        )
-        _sync(out)
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        iters = 8
-        for _ in range(iters):
+    for pool in pool_sizes:
+        for use_kernel in (True, False):
+            c = kvcache.create_cache(spec, pool, PAGE, "bf16")  # fresh
+            s = state
+            t0 = time.perf_counter()
             c, s, out = step_mod.decode_steps(
                 spec, params, c, 16, s, jnp.asarray(257, jnp.int32), use_kernel
             )
-        _sync(out)
-        ms = ((time.perf_counter() - t0) * 1e3 - _overhead_ms()) / (iters * 16)
-        print(
-            f"7B int8 decode step (paged_kernel={use_kernel}): {ms:8.3f} "
-            f"ms/step -> {B / (ms / 1e3):7.1f} tok/s  "
-            f"(compile+warmup {compile_s:.0f}s)"
-        )
+            _sync(out)
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            iters = 8
+            for _ in range(iters):
+                c, s, out = step_mod.decode_steps(
+                    spec, params, c, 16, s, jnp.asarray(257, jnp.int32),
+                    use_kernel,
+                )
+            _sync(out)
+            ms = ((time.perf_counter() - t0) * 1e3 - _overhead_ms()) / (
+                iters * 16
+            )
+            print(
+                f"7B int8 decode step (pool={pool}, paged_kernel="
+                f"{use_kernel}): {ms:8.3f} ms/step -> {B / (ms / 1e3):7.1f} "
+                f"tok/s  (compile+warmup {compile_s:.0f}s)",
+                flush=True,
+            )
+            del c
 
 
 def main():
