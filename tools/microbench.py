@@ -205,8 +205,12 @@ def bench_step():
         top_p=jnp.ones(B, jnp.float32),
         rng=jax.random.PRNGKey(0),
     )
+    kernel_opts = [
+        x == "true"
+        for x in os.environ.get("CAESAR_STEP_KERNELS", "true,false").split(",")
+    ]
     for pool in pool_sizes:
-        for use_kernel in (True, False):
+        for use_kernel in kernel_opts:
             c = kvcache.create_cache(spec, pool, PAGE, "bf16")  # fresh
             s = state
             t0 = time.perf_counter()
