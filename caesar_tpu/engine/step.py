@@ -192,10 +192,11 @@ def _decode_one(
 
             attn = paged_attention_decode(
                 q[:, 0],
-                cache.k_pages[layer_idx],
-                cache.v_pages[layer_idx],
+                cache.k_pages,  # full pool: a per-layer slice would copy
+                cache.v_pages,
                 state.page_tables,
                 state.positions,
+                jnp.asarray(layer_idx, dtype=jnp.int32),
                 cache.page_size,
             )[:, None]
         else:

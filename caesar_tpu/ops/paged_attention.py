@@ -41,9 +41,12 @@ def _kernel(
     # scalar prefetch
     tables_ref,  # [B, max_pages] int32 (SMEM)
     positions_ref,  # [B] int32 — position of the query token
+    layer_ref,  # [1] int32 — which layer of the pool to read
     # inputs
     q_ref,  # [1, n_kv, group, hd] VMEM block (this sequence)
-    k_hbm,  # [n_pages, page, n_kv, hd] in HBM
+    k_hbm,  # [n_layers, n_pages, page, n_kv, hd] in HBM (FULL pool: slicing
+    #         the layer outside the kernel would materialize a copy of the
+    #         slice as the custom-call operand — the layer picks inside)
     v_hbm,
     # output
     out_ref,  # [1, n_kv, group, hd] VMEM block
@@ -64,22 +67,24 @@ def _kernel(
 
     n_slots = k_buf.shape[0]  # prefetch depth (latency hiding)
 
+    layer = layer_ref[0]
+
     def start_dma(slot, j):
         page_id = tables_ref[b, j]
         pltpu.make_async_copy(
-            k_hbm.at[page_id], k_buf.at[slot], sem.at[slot, 0]
+            k_hbm.at[layer, page_id], k_buf.at[slot], sem.at[slot, 0]
         ).start()
         pltpu.make_async_copy(
-            v_hbm.at[page_id], v_buf.at[slot], sem.at[slot, 1]
+            v_hbm.at[layer, page_id], v_buf.at[slot], sem.at[slot, 1]
         ).start()
 
     def wait_dma(slot, j):
         page_id = tables_ref[b, j]
         pltpu.make_async_copy(
-            k_hbm.at[page_id], k_buf.at[slot], sem.at[slot, 0]
+            k_hbm.at[layer, page_id], k_buf.at[slot], sem.at[slot, 0]
         ).wait()
         pltpu.make_async_copy(
-            v_hbm.at[page_id], v_buf.at[slot], sem.at[slot, 1]
+            v_hbm.at[layer, page_id], v_buf.at[slot], sem.at[slot, 1]
         ).wait()
 
     # warm the pipeline: launch up to n_slots page DMAs up front — page DMAs
@@ -169,21 +174,22 @@ def supports(spec, page_size: int) -> bool:
 @functools.partial(jax.jit, static_argnames=("page_size", "interpret"))
 def paged_attention_decode(
     q: jax.Array,  # [B, n_heads, hd] (decode: one query token per sequence)
-    k_pages: jax.Array,  # [n_pages, page, n_kv, hd]
+    k_pages: jax.Array,  # [n_layers, n_pages, page, n_kv, hd] (FULL pool)
     v_pages: jax.Array,
     page_tables: jax.Array,  # [B, max_pages] int32
     positions: jax.Array,  # [B] int32 query positions
+    layer: jax.Array,  # scalar int32 — pool layer to attend over
     page_size: int,
     interpret: bool = False,
 ) -> jax.Array:
     """Returns attention output [B, n_heads, hd] (same dtype as q)."""
     b, n_heads, hd = q.shape
-    n_kv = k_pages.shape[2]
+    n_kv = k_pages.shape[3]
     group = n_heads // n_kv
     q4 = q.reshape(b, n_kv, group, hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b,),
         in_specs=[
             pl.BlockSpec(
@@ -211,5 +217,12 @@ def paged_attention_decode(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_kv, group, hd), q.dtype),
         interpret=interpret,
-    )(page_tables, positions, q4, k_pages, v_pages)
+    )(
+        page_tables,
+        positions,
+        jnp.asarray(layer, dtype=jnp.int32).reshape(1),
+        q4,
+        k_pages,
+        v_pages,
+    )
     return out.reshape(b, n_heads, hd)

@@ -64,8 +64,8 @@ def test_kernel_matches_gather_reference():
     expected = xla_reference(cache, q, tables, positions)
     got = np.asarray(
         paged_attention_decode(
-            q, cache.k_pages, cache.v_pages, tables, positions, PAGE,
-            interpret=True,
+            q, cache.k_pages[None], cache.v_pages[None], tables, positions,
+            jnp.asarray(0), PAGE, interpret=True,
         )
     )
     np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
@@ -76,8 +76,8 @@ def test_kernel_single_token_sequence():
     expected = xla_reference(cache, q, tables, positions)
     got = np.asarray(
         paged_attention_decode(
-            q, cache.k_pages, cache.v_pages, tables, positions, PAGE,
-            interpret=True,
+            q, cache.k_pages[None], cache.v_pages[None], tables, positions,
+            jnp.asarray(0), PAGE, interpret=True,
         )
     )
     np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
@@ -88,8 +88,8 @@ def test_kernel_page_boundary_lengths():
     expected = xla_reference(cache, q, tables, positions)
     got = np.asarray(
         paged_attention_decode(
-            q, cache.k_pages, cache.v_pages, tables, positions, PAGE,
-            interpret=True,
+            q, cache.k_pages[None], cache.v_pages[None], tables, positions,
+            jnp.asarray(0), PAGE, interpret=True,
         )
     )
     np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
@@ -104,8 +104,8 @@ def test_kernel_bf16_pages():
     )
     got = np.asarray(
         paged_attention_decode(
-            q, cache.k_pages, cache.v_pages, tables, positions, PAGE,
-            interpret=True,
+            q, cache.k_pages[None], cache.v_pages[None], tables, positions,
+            jnp.asarray(0), PAGE, interpret=True,
         )
     )
     # compare against reference computed on the bf16-rounded pages

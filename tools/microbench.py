@@ -143,9 +143,10 @@ def bench_attn():
     positions = jnp.full((B,), ctx - 1, jnp.int32)
     q = jnp.asarray(rng.standard_normal((B, NKV * G, HD), np.float32), jnp.bfloat16)
 
+    layer0 = jnp.asarray(0)
     ms = timed(
         lambda qq: paged_attention_decode(
-            qq, k_pages, v_pages, tables, positions, PAGE
+            qq, k_pages[None], v_pages[None], tables, positions, layer0, PAGE
         ),
         q,
     )
