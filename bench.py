@@ -103,7 +103,7 @@ def main() -> None:
     # speed-of-light ceiling: bytes streamed per decode step
     device = jax.devices()[0]
     peaks = peaks_for_device(device)
-    bytes_per_w = {"bf16": 2.0, "int8": 1.0, "int4": 0.5}[quant]
+    bytes_per_w = {"bf16": 2.0, "int8": 1.0, "w8a8": 1.0, "int4": 0.5}[quant]
     per_layer_lin = (
         spec.dim * (spec.q_dim + 2 * spec.kv_dim)
         + spec.q_dim * spec.dim

@@ -50,7 +50,8 @@ class EngineConfig:
     #: model preset name (see caesar_tpu.engine.model.MODEL_PRESETS) or a path
     #: to a HF checkpoint directory with config.json + *.safetensors
     model: str = "qwen2.5-coder-1.5b"
-    #: weight quantization: bf16 | int8 | int4
+    #: weight quantization: bf16 | int8 | w8a8 (int8 weights + runtime
+    #: int8 activations, native int8 MXU) | int4
     quant: str = "bf16"
     #: KV-cache storage dtype: bf16 | fp8
     kv_quant: str = "bf16"
@@ -177,7 +178,7 @@ class RunConfig:
             raise ValueError(f"Bad backend {self.backend!r}")
         if self.eval_backend not in ("mock", "jax", "torch_cpu"):
             raise ValueError(f"Bad eval_backend {self.eval_backend!r}")
-        if self.engine.quant not in ("bf16", "int8", "int4"):
+        if self.engine.quant not in ("bf16", "int8", "w8a8", "int4"):
             raise ValueError(f"Bad engine.quant {self.engine.quant!r}")
         if self.engine.kv_quant not in ("bf16", "fp8", "f32"):
             raise ValueError(f"Bad engine.kv_quant {self.engine.kv_quant!r}")

@@ -141,10 +141,14 @@ class Engine:
                 allow_random_init=econf.allow_random_init,
                 quant=econf.quant,
             )
-        elif econf.quant in ("int8", "int4") and not isinstance(
+        elif econf.quant in ("int8", "w8a8", "int4") and not isinstance(
             params["layers"][0]["wq"], QuantizedLinear
         ):
-            params = quantize_params(params, bits=8 if econf.quant == "int8" else 4)
+            params = quantize_params(
+                params,
+                bits=4 if econf.quant == "int4" else 8,
+                act="int8" if econf.quant == "w8a8" else "none",
+            )
         self.spec = spec
         self.mesh = mesh
         if mesh is not None:
@@ -227,7 +231,9 @@ class Engine:
                 hbm = 4 * 2 ** 30  # CPU tests: keep it small
         except Exception:
             hbm = 4 * 2 ** 30
-        bytes_per_w = {"bf16": 2.0, "int8": 1.0, "int4": 0.5}[self.econf.quant]
+        bytes_per_w = {"bf16": 2.0, "int8": 1.0, "w8a8": 1.0, "int4": 0.5}[
+            self.econf.quant
+        ]
         budget = hbm - self.spec.param_bytes(bytes_per_w) - 2 * 2 ** 30
         page_bytes = kvcache.cache_bytes(
             self.spec, 1, self.page_size, self.econf.kv_quant

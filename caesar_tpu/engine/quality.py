@@ -55,9 +55,15 @@ def quant_quality_report(
     token_ids: List[List[int]],
     bits_list=(8, 4),
     group: int = 128,
+    include_w8a8: bool = True,
 ) -> Dict[str, float]:
     """Perplexity of the dense model and each quantization of it, plus
-    relative deltas — the quality-parity scorecard."""
+    relative deltas — the quality-parity scorecard.
+
+    w8a8 (int8 weights + runtime per-token int8 activations, the fastest
+    serving mode) is scored alongside the weight-only schemes so its extra
+    activation-quant error is an explicit line item.
+    """
     report: Dict[str, float] = {}
     base = perplexity(spec, params, token_ids)
     report["ppl_bf16"] = base
@@ -66,4 +72,11 @@ def quant_quality_report(
         ppl = perplexity(spec, q_params, token_ids)
         report[f"ppl_int{bits}"] = ppl
         report[f"delta_int{bits}"] = (ppl - base) / base
+        if bits == 8 and include_w8a8:
+            a8_params = quantize_params(
+                params, bits=8, group=group, act="int8"
+            )
+            ppl8a8 = perplexity(spec, a8_params, token_ids)
+            report["ppl_w8a8"] = ppl8a8
+            report["delta_w8a8"] = (ppl8a8 - base) / base
     return report

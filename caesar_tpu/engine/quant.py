@@ -40,7 +40,7 @@ DEFAULT_GROUP = 128
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["qweight", "scales"],
-    meta_fields=["bits", "group", "out_features", "in_features"],
+    meta_fields=["bits", "group", "out_features", "in_features", "act"],
 )
 @dataclasses.dataclass
 class QuantizedLinear:
@@ -49,6 +49,10 @@ class QuantizedLinear:
     qweight: int8 — [in, out] for bits=8, [in//2, out] nibble-packed for
         bits=4 (low nibble = even row, high nibble = odd row).
     scales: bf16 — [in/group, out].
+    act: "none" (weight-only, bf16 activations through the MXU) or "int8"
+        (w8a8: activations quantized per-token-per-group at runtime and the
+        MXU runs native int8xint8->int32 — no per-weight VPU dequant work,
+        so the matmul is HBM-DMA-bound instead of VPU-bound).
     """
 
     qweight: jax.Array
@@ -57,12 +61,14 @@ class QuantizedLinear:
     group: int
     out_features: int
     in_features: int
+    act: str = "none"
 
 
 def quantize_weight(
     w: jax.Array | np.ndarray,
     bits: Literal[4, 8],
     group: int = DEFAULT_GROUP,
+    act: str = "none",
 ) -> QuantizedLinear:
     """Symmetric per-group quantization of an [in, out] weight."""
     w = np.asarray(w, dtype=np.float32)
@@ -97,7 +103,27 @@ def quantize_weight(
         group=int(group),
         out_features=d_out,
         in_features=d_in,
+        act=str(act),
     )
+
+
+def quantize_activations(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-token symmetric int8 activation quantization.
+
+    x [M, K] -> (q [M, K] int8, scales [M] f32).  Runs as plain XLA next to
+    the matmul (reads/writes only the tiny activation, fused by the
+    compiler).  Per-token (not per-group) scaling keeps the activation scale
+    OUT of the kernel's inner loop: the kernel rescales the int32 group sums
+    by the weight scales only, and the caller multiplies the [M, N] output
+    by xs[:, None] once — a column-broadcast the Mosaic lane layout cannot
+    express efficiently inside the kernel.
+    """
+    m, k = x.shape
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1)
+    xs = jnp.maximum(absmax / 127.0, 1e-8)  # [M]
+    q = jnp.clip(jnp.round(xf / xs[:, None]), -127, 127).astype(jnp.int8)
+    return q, xs
 
 
 def _unpack_int4(packed: jax.Array, in_features: int) -> jax.Array:
@@ -140,21 +166,51 @@ def quantized_matmul(x: jax.Array, w: QuantizedLinear) -> jax.Array:
         from caesar_tpu.ops.quant_matmul import quant_matmul_pallas
 
         return quant_matmul_pallas(x, w)
+    if w.act == "int8":
+        return _w8a8_matmul_xla(x, w)
     wf = dequantize(w, dtype=jnp.bfloat16)
     return jnp.dot(x, wf, preferred_element_type=jnp.float32)
 
 
-def quantize_params(params, bits: Literal[4, 8], group: int = DEFAULT_GROUP):
+def _w8a8_matmul_xla(x: jax.Array, w: QuantizedLinear) -> jax.Array:
+    """XLA emulation of the w8a8 kernel (CPU tests / non-TPU backends).
+
+    Same numerics as the Pallas path: activations int8 per-token, int
+    products accumulated exactly within each weight group (int32 on device;
+    f32 here is exact too — group sums stay < 2^24), per-group rescale by
+    the weight scale, per-token rescale at the end.
+    """
+    leading = x.shape[:-1]
+    k = w.in_features
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    qw = w.qweight if w.bits == 8 else _unpack_int4(w.qweight, k)
+    xq, xs = quantize_activations(x2)  # [M, K] i8, [M] f32
+    g = k // w.group
+    xg = xq.reshape(m, g, w.group).astype(jnp.float32)
+    wg = qw.reshape(g, w.group, w.out_features).astype(jnp.float32)
+    ig = jnp.einsum("mgk,gkn->mgn", xg, wg)  # exact int math in f32
+    out = jnp.sum(ig * w.scales.astype(jnp.float32)[None], axis=1)
+    out = out * xs[:, None]
+    return out.reshape(*leading, w.out_features)
+
+
+def quantize_params(
+    params,
+    bits: Literal[4, 8],
+    group: int = DEFAULT_GROUP,
+    act: str = "none",
+):
     """Quantize every linear weight of a model params tree (embeddings and
     norms stay bf16, matching weight-only serving practice)."""
     quantized_layers = []
     for layer in params["layers"]:
         new_layer = dict(layer)
         for key in ("wq", "wk", "wv", "wo"):
-            new_layer[key] = quantize_weight(layer[key], bits, group)
+            new_layer[key] = quantize_weight(layer[key], bits, group, act)
         new_mlp = dict(layer["mlp"])
         for key in ("gate", "up", "down"):
-            new_mlp[key] = quantize_weight(layer["mlp"][key], bits, group)
+            new_mlp[key] = quantize_weight(layer["mlp"][key], bits, group, act)
         new_layer["mlp"] = new_mlp
         quantized_layers.append(new_layer)
     out = dict(params)
@@ -175,6 +231,7 @@ def _concat_out(parts):
             group=group,
             out_features=sum(p.out_features for p in parts),
             in_features=parts[0].in_features,
+            act=parts[0].act,
         )
     return jnp.concatenate(parts, axis=1)
 

@@ -340,6 +340,25 @@ def _set(node, leaf, value):
         node[leaf] = value
 
 
+def _set_act_mode(params, act: str):
+    """Tag every QuantizedLinear in the tree with an activation-quant mode
+    (w8a8 shares the weight format with int8 — the tag is runtime-only)."""
+    import dataclasses as _dc
+
+    from caesar_tpu.engine.quant import QuantizedLinear
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if isinstance(node, QuantizedLinear):
+            return _dc.replace(node, act=act)
+        return node
+
+    return walk(params)
+
+
 def load_model(
     model: str,
     seed: int = 0,
@@ -348,8 +367,17 @@ def load_model(
     quant: str = "bf16",
 ) -> tuple[ModelSpec, dict]:
     """Resolve `model` (preset name or checkpoint dir) to (spec, params),
-    already quantized per `quant` (bf16 | int8 | int4)."""
-    quant_bits = {"bf16": None, "int8": 8, "int4": 4}[quant]
+    already quantized per `quant` (bf16 | int8 | w8a8 | int4).
+
+    "w8a8" stores the same int8 grouped weights as "int8" but additionally
+    quantizes activations at runtime so the MXU runs native int8 (see
+    ops/quant_matmul._w8a8_kernel)."""
+    quant_bits = {"bf16": None, "int8": 8, "w8a8": 8, "int4": 4}[quant]
+    act = "int8" if quant == "w8a8" else "none"
+
+    def tag(params):
+        return _set_act_mode(params, act) if act != "none" else params
+
     if os.path.isdir(model):
         spec, params = load_hf_checkpoint(model, dtype=dtype)
         if quant_bits is not None:
@@ -357,7 +385,7 @@ def load_model(
 
             params = quantize_params(params, bits=quant_bits)
             params = _maybe_quantize_head(spec, params, quant_bits)
-        return spec, params
+        return spec, tag(params)
     spec = MODEL_PRESETS.get(model)
     if spec is None:
         raise KeyError(
@@ -368,10 +396,13 @@ def load_model(
         raise FileNotFoundError(
             f"No checkpoint for {model!r} and allow_random_init=False"
         )
-    cache_path = _params_cache_path(model, quant, seed)
+    # w8a8 shares int8's weight artifact on disk
+    cache_path = _params_cache_path(
+        model, "int8" if quant == "w8a8" else quant, seed
+    )
     if cache_path is not None and cache_path.exists():
         try:
-            return spec, _load_params_cache(cache_path, dtype)
+            return spec, tag(_load_params_cache(cache_path, dtype))
         except Exception:
             pass  # fall through to regeneration
     params = init_params(spec, seed=seed, dtype=dtype, quant_bits=quant_bits)
@@ -381,4 +412,4 @@ def load_model(
             _save_params_cache(cache_path, params)
         except Exception:
             pass  # cache failures never break loading
-    return spec, params
+    return spec, tag(params)

@@ -34,7 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-PREFETCH_DEPTH = 8  # in-flight page DMAs per sequence (latency hiding)
+SUPER = 4  # pages DMA'd + processed per flash iteration (see below)
+DEPTH = 2  # superblock double buffering (DEPTH*SUPER*2 page DMAs in flight)
 
 
 def _kernel(
@@ -51,76 +52,103 @@ def _kernel(
     # output
     out_ref,  # [1, n_kv, group, hd] VMEM block
     # scratch
-    k_buf,  # [2, page, n_kv, hd] VMEM
+    k_buf,  # [DEPTH, SUPER*page, n_kv, hd] VMEM
     v_buf,
-    sem,  # DMA sems [2, 2]
+    sem,  # DMA sems [DEPTH, SUPER, 2]
     *,
     page_size: int,
 ):
+    """Flash decode over SUPER-page superblocks.
+
+    Per-page iteration was instruction-bound: [group, hd] x [hd, page] dots
+    and the mask/exp bookkeeping are tiny, so fixed per-op cost dominated.
+    A superblock DMAs SUPER pages (individually — page ids are scattered)
+    into one contiguous VMEM tile and runs the flash update once per
+    SUPER*page tokens: 4x fewer vector ops and 4x larger MXU dots for the
+    same HBM traffic.  Tail pages past a sequence's length are neither
+    fetched (predicated DMA) nor scored (position mask).
+    """
     b = pl.program_id(0)
     q = q_ref[0].astype(jnp.float32)  # [n_kv, group, hd]
     n_kv, group, hd = q.shape
 
     q_pos = positions_ref[b]
     length = q_pos + 1
-    n_pages = pl.cdiv(length, page_size)  # traced loop bound
-
-    n_slots = k_buf.shape[0]  # prefetch depth (latency hiding)
+    n_pages = pl.cdiv(length, page_size)
+    block = SUPER * page_size
+    n_blocks = pl.cdiv(length, block)  # traced loop bound
 
     layer = layer_ref[0]
 
-    def start_dma(slot, j):
-        page_id = tables_ref[b, j]
-        pltpu.make_async_copy(
-            k_hbm.at[layer, page_id], k_buf.at[slot], sem.at[slot, 0]
-        ).start()
-        pltpu.make_async_copy(
-            v_hbm.at[layer, page_id], v_buf.at[slot], sem.at[slot, 1]
-        ).start()
+    def _page_id(j, p):
+        # Tail slots past the sequence's last page fetch the reserved scratch
+        # page 0 instead: leaving the buffer tail UNWRITTEN would feed
+        # uninitialized VMEM (possibly NaN/Inf) into the P.V dot, and
+        # 0 * NaN = NaN survives the position mask.  Page 0 only ever holds
+        # finite values, and its scores are masked out.
+        page_idx = j * SUPER + p
+        return jnp.where(page_idx < n_pages, tables_ref[b, page_idx], 0)
 
-    def wait_dma(slot, j):
-        page_id = tables_ref[b, j]
-        pltpu.make_async_copy(
-            k_hbm.at[layer, page_id], k_buf.at[slot], sem.at[slot, 0]
-        ).wait()
-        pltpu.make_async_copy(
-            v_hbm.at[layer, page_id], v_buf.at[slot], sem.at[slot, 1]
-        ).wait()
+    def start_block(slot, j):
+        """Launch DMAs for superblock j into buffer `slot`."""
+        for p in range(SUPER):
+            page_id = _page_id(j, p)
+            pltpu.make_async_copy(
+                k_hbm.at[layer, page_id],
+                k_buf.at[slot, pl.ds(p * page_size, page_size)],
+                sem.at[slot, p, 0],
+            ).start()
+            pltpu.make_async_copy(
+                v_hbm.at[layer, page_id],
+                v_buf.at[slot, pl.ds(p * page_size, page_size)],
+                sem.at[slot, p, 1],
+            ).start()
 
-    # warm the pipeline: launch up to n_slots page DMAs up front — page DMAs
-    # are latency-bound (tens of KB each), so depth-2 double buffering leaves
-    # the stream idle; depth-8 keeps it full
+    def wait_block(slot, j):
+        for p in range(SUPER):
+            page_id = _page_id(j, p)
+            pltpu.make_async_copy(
+                k_hbm.at[layer, page_id],
+                k_buf.at[slot, pl.ds(p * page_size, page_size)],
+                sem.at[slot, p, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[layer, page_id],
+                v_buf.at[slot, pl.ds(p * page_size, page_size)],
+                sem.at[slot, p, 1],
+            ).wait()
+
     def warm(j, _):
-        @pl.when(j < n_pages)
+        @pl.when(j < n_blocks)
         def _():
-            start_dma(j, j)
+            start_block(j, j)
         return 0
 
-    jax.lax.fori_loop(0, n_slots, warm, 0)
+    jax.lax.fori_loop(0, DEPTH, warm, 0)
 
     scale = 1.0 / (hd ** 0.5)
 
     def body(j, carry):
         m_prev, l_prev, acc_prev = carry
-        slot = jax.lax.rem(j, n_slots)
+        slot = jax.lax.rem(j, DEPTH)
 
-        wait_dma(slot, j)
-        k = k_buf[slot].astype(jnp.float32)  # [page, n_kv, hd]
+        wait_block(slot, j)
+        k = k_buf[slot].astype(jnp.float32)  # [block, n_kv, hd]
         v = v_buf[slot].astype(jnp.float32)
 
         # reads above materialize into registers; the slot is now free to
-        # refill for page j + n_slots
-        @pl.when(j + n_slots < n_pages)
+        # refill for superblock j + DEPTH
+        @pl.when(j + DEPTH < n_blocks)
         def _():
-            start_dma(slot, j + n_slots)
+            start_block(slot, j + DEPTH)
 
-        # scores [n_kv, group, page] — per-kv-head matmuls, statically
+        # scores [n_kv, group, block] — per-kv-head matmuls, statically
         # unrolled (Mosaic's tpu.matmul has no batch dims)
         scores = jnp.stack(
             [
                 jax.lax.dot_general(
                     q[h],  # [group, hd]
-                    k[:, h, :],  # [page, hd]
+                    k[:, h, :],  # [block, hd]
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -128,22 +156,22 @@ def _kernel(
             ]
         ) * scale
 
-        token_pos = j * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (n_kv, group, page_size), dimension=2
+        token_pos = j * block + jax.lax.broadcasted_iota(
+            jnp.int32, (n_kv, group, block), dimension=2
         )
         scores = jnp.where(token_pos <= q_pos, scores, NEG_INF)
 
         m_cur = jnp.max(scores, axis=-1)  # [n_kv, group]
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(scores - m_new[..., None])  # [n_kv, group, page]
+        p = jnp.exp(scores - m_new[..., None])  # [n_kv, group, block]
         l_new = l_prev * alpha + jnp.sum(p, axis=-1)
         # pv [n_kv, group, hd] — per-kv-head matmuls as above
         pv = jnp.stack(
             [
                 jax.lax.dot_general(
-                    p[h],  # [group, page]
-                    v[:, h, :],  # [page, hd]
+                    p[h],  # [group, block]
+                    v[:, h, :],  # [block, hd]
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -156,7 +184,7 @@ def _kernel(
     m0 = jnp.full((n_kv, group), NEG_INF, dtype=jnp.float32)
     l0 = jnp.zeros((n_kv, group), dtype=jnp.float32)
     acc0 = jnp.zeros((n_kv, group, hd), dtype=jnp.float32)
-    _m, l_fin, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
+    _m, l_fin, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
 
     out_ref[0] = (acc / l_fin[..., None]).astype(out_ref.dtype)
 
@@ -206,9 +234,9 @@ def paged_attention_decode(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((PREFETCH_DEPTH, page_size, n_kv, hd), k_pages.dtype),
-            pltpu.VMEM((PREFETCH_DEPTH, page_size, n_kv, hd), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((PREFETCH_DEPTH, 2)),
+            pltpu.VMEM((DEPTH, SUPER * page_size, n_kv, hd), k_pages.dtype),
+            pltpu.VMEM((DEPTH, SUPER * page_size, n_kv, hd), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((DEPTH, SUPER, 2)),
         ],
     )
     kernel = functools.partial(_kernel, page_size=page_size)

@@ -46,6 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 _BN_CANDIDATES = (1024, 768, 512, 256)
 _BK_CANDIDATES = (512, 256, 128)
 M_ALIGN = 8
+#: VMEM budget for one program's working set (double-buffered weight tile +
+#: activations + f32 out tile); v5e has 16 MB more is left for Mosaic's own
+#: pipelining of the other operands
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _pick_tile(dim: int, candidates: Tuple[int, ...], multiple_of: int = 1
@@ -54,6 +58,44 @@ def _pick_tile(dim: int, candidates: Tuple[int, ...], multiple_of: int = 1
         if dim % c == 0 and c % multiple_of == 0:
             return c
     return None
+
+
+def _divisors_mult(dim: int, mult: int, cap: int) -> Tuple[int, ...]:
+    """Divisors of dim that are multiples of `mult`, up to `cap`."""
+    return tuple(
+        d for d in range(mult, min(dim, cap) + 1, mult) if dim % d == 0
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _pick_tiles_w8a8(
+    m: int, k: int, n: int, group: int, w_bytes_per_el: int = 1
+) -> Optional[Tuple[int, int]]:
+    """(bk, bn) maximizing weight-tile bytes under the VMEM budget.
+
+    The w8a8 kernel is DMA-bound per byte but pays a fixed ~0.5 us per grid
+    step, so throughput = tile_bytes / max(tile_dma_time, step_cost):
+    maximizing bytes per step (equivalently minimizing grid steps) is the
+    whole tuning story.  bk may span the ENTIRE reduction dim (no
+    accumulation loop at all) when it fits.
+    """
+    best = None
+    best_key = None
+    for bn in _divisors_mult(n, 128, 8192):
+        for bk in _divisors_mult(k, group, 8192):
+            vmem = (
+                2 * bk * bn * w_bytes_per_el  # double-buffered weight tile
+                + 2 * m * bk  # int8 activations (double-buffered)
+                + m * bn * 4  # f32 out tile
+                + 2 * (bk // group) * bn * 2  # scales
+            )
+            if vmem > _VMEM_BUDGET:
+                continue
+            key = (bk * bn, bk)  # max tile bytes, tie-break deeper K
+            if best_key is None or key > best_key:
+                best_key = key
+                best = (bk, bn)
+    return best
 
 
 def _apply_scales(w: jax.Array, s_ref) -> jax.Array:
@@ -112,6 +154,74 @@ def _compiler_params():
     return pltpu.CompilerParams(
         dimension_semantics=("parallel", "arbitrary"),
     )
+
+
+def _w8a8_kernel(xq_ref, qw_ref, s_ref, out_ref):
+    """Native int8 MXU matmul with per-group output rescale.
+
+    The weight-only kernel (_int8_kernel) is VPU-bound: every weight byte
+    pays an int8->bf16 cast plus a scale multiply before the MXU sees it,
+    capping it near half of HBM bandwidth.  Here the MXU consumes the int8
+    tile directly (int8 x int8 -> int32) and the only VPU work is the
+    [M, BN] per-group rescale by the weight scale — M/group (= 32/128) ops
+    per weight byte, so the kernel is DMA-bound.  The per-token activation
+    scale is applied by the caller on the [M, N] output (a column broadcast
+    Mosaic's lane layout can't index efficiently in the inner loop).
+
+    xq  [M, BK] int8           — pre-quantized activations (per-token)
+    qw  [BK, BN] int8          — weight tile
+    s   [BK/group, 1, BN] bf16 — weight group scales
+    """
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    groups = s_ref.shape[0]
+    group = qw_ref.shape[0] // groups
+    acc = jnp.zeros_like(out_ref)
+    for g in range(groups):  # static unroll (BK/group is small)
+        ig = jnp.dot(
+            xq_ref[:, g * group : (g + 1) * group],
+            qw_ref[g * group : (g + 1) * group, :],
+            preferred_element_type=jnp.int32,
+        )
+        ws_row = s_ref[g, 0, :].astype(jnp.float32)[None, :]  # [1, BN]
+        acc += ig.astype(jnp.float32) * ws_row
+    out_ref[:] += acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "k", "n", "bk", "bn", "interpret"),
+)
+def _w8a8_matmul(xq, qweight, scales, group, k, n, bk, bn, interpret):
+    m = xq.shape[0]
+    grid = (n // bn, k // bk)
+    flops = 2 * m * n * k
+    bytes_accessed = qweight.size + scales.size * 2 + m * k + m * n * 4
+    return pl.pallas_call(
+        _w8a8_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bk // group, 1, bn),
+                lambda i, j: (j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (m, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(xq, qweight, scales.reshape(-1, 1, n))
 
 
 @functools.partial(
@@ -215,7 +325,7 @@ def supports(w) -> bool:
 
 def quant_matmul_pallas(x: jax.Array, w) -> jax.Array:
     """x [..., K] @ dequant(w) -> [..., N] f32 via the fused kernel."""
-    from caesar_tpu.engine.quant import dequantize
+    from caesar_tpu.engine.quant import dequantize, quantize_activations
 
     tiles = _tiles_for(w) if w.in_features % w.group == 0 else None
     if tiles is None:
@@ -228,13 +338,27 @@ def quant_matmul_pallas(x: jax.Array, w) -> jax.Array:
     n = w.out_features
     x2 = x.reshape(-1, k).astype(jnp.bfloat16)
     m = x2.shape[0]
-    m_pad = -m % M_ALIGN
-    if m_pad:
-        x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
 
     interpret = jax.default_backend() != "tpu"
-    fn = _int8_matmul if w.bits == 8 else _int4_matmul
-    out = fn(x2, w.qweight, w.scales, w.group, k, n, bk, bn, interpret)
+    if w.act == "int8" and w.bits == 8:
+        # int8 min sublane tile is 32: pad M accordingly
+        m_pad = -m % 32
+        if m_pad:
+            x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
+        tiles8 = _pick_tiles_w8a8(x2.shape[0], k, n, w.group)
+        if tiles8 is not None:
+            bk, bn = tiles8
+        xq, xs = quantize_activations(x2)
+        out = _w8a8_matmul(
+            xq, w.qweight, w.scales, w.group, k, n, bk, bn, interpret
+        )
+        out = out * xs[:, None]  # per-token rescale (fused by XLA)
+    else:
+        m_pad = -m % M_ALIGN
+        if m_pad:
+            x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
+        fn = _int8_matmul if w.bits == 8 else _int4_matmul
+        out = fn(x2, w.qweight, w.scales, w.group, k, n, bk, bn, interpret)
     if m_pad:
         out = out[:m]
     return out.reshape(*leading, n)

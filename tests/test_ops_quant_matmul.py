@@ -65,6 +65,50 @@ def test_unsupported_shapes_fall_back():
     assert out.shape == (2, 100)
 
 
+def test_w8a8_kernel_matches_xla_emulation():
+    """The w8a8 Pallas kernel (interpret mode) matches the exact XLA
+    emulation (engine.quant._w8a8_matmul_xla) bit-for-bit up to f32
+    accumulation order."""
+    from caesar_tpu.engine.quant import _w8a8_matmul_xla
+
+    q = make(8)
+    q = __import__("dataclasses").replace(q, act="int8")
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((4, 256), dtype=np.float32) * 0.1)
+    got = np.asarray(quant_matmul_pallas(x, q))
+    ref = np.asarray(_w8a8_matmul_xla(x.astype(jnp.bfloat16), q))
+    assert got.shape == ref.shape == (4, 512)
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
+
+
+def test_w8a8_close_to_weight_only():
+    """Activation int8 quantization adds only small error over weight-only."""
+    q = make(8, k=512, n=512)
+    q8a8 = __import__("dataclasses").replace(q, act="int8")
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((8, 512), dtype=np.float32) * 0.1)
+    ref = np.asarray(quant_matmul_pallas(x, q))
+    got = np.asarray(quant_matmul_pallas(x, q8a8))
+    denom = np.abs(ref).mean() + 1e-6
+    assert np.abs(got - ref).mean() / denom < 0.02
+
+
+def test_w8a8_load_model_tags_tree():
+    from caesar_tpu.engine.quant import QuantizedLinear
+    from caesar_tpu.engine.weights import load_model
+
+    spec, params = load_model("tiny", quant="w8a8")
+    import jax
+
+    leaves = [
+        l for l in jax.tree_util.tree_leaves(
+            params, is_leaf=lambda n: isinstance(n, QuantizedLinear)
+        )
+        if isinstance(l, QuantizedLinear)
+    ]
+    assert leaves and all(l.act == "int8" for l in leaves)
+
+
 @pytest.mark.parametrize("bits", [8, 4])
 def test_kernel_large_int_values_roundtrip(bits):
     """Extremes of the int range dequantize correctly through the kernel."""

@@ -25,6 +25,7 @@ def test_quant_deltas_small_and_ordered():
     assert np.isfinite(report["ppl_int8"])
     # int8 must track bf16 closely; int4 within a loose envelope
     assert abs(report["delta_int8"]) < 0.05
+    assert abs(report["delta_w8a8"]) < 0.08  # act quant adds bounded error
     assert abs(report["delta_int4"]) < 0.5
     # int4 can't be (meaningfully) closer than int8
     assert abs(report["delta_int4"]) >= abs(report["delta_int8"]) * 0.2

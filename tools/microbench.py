@@ -84,12 +84,13 @@ def bench_quant():
             x = jnp.asarray(
                 rng.standard_normal((m, k), np.float32) * 0.1, jnp.bfloat16
             )
-            for bits in (8, 4):
-                q = quantize_weight(w, bits=bits, group=128)
+            for bits, act in ((8, "none"), (8, "int8"), (4, "none")):
+                q = quantize_weight(w, bits=bits, group=128, act=act)
                 ms = timed(lambda a: quant_matmul_pallas(a, q), x)
                 gb = (q.qweight.size + m * k * 2 + m * n * 4) / 1e9
+                label = "w8a8     " if act == "int8" else f"int{bits}     "
                 print(
-                    f"pallas int{bits} M={m} {name}: {ms:8.3f} ms "
+                    f"pallas {label} M={m} {name}: {ms:8.3f} ms "
                     f"({gb / (ms / 1e3):6.1f} GB/s)"
                 )
             wq = jnp.asarray(w, jnp.bfloat16)
@@ -180,7 +181,8 @@ def bench_step():
     from caesar_tpu.engine.step import DecodeState
     from caesar_tpu.engine.weights import load_model
 
-    spec, params = load_model("qwen2.5-coder-7b", quant="int8")
+    quant = os.environ.get("CAESAR_STEP_QUANT", "int8")
+    spec, params = load_model("qwen2.5-coder-7b", quant=quant)
     from caesar_tpu.engine.quant import fuse_params
 
     params = fuse_params(params)
@@ -232,7 +234,7 @@ def bench_step():
                 iters * 16
             )
             print(
-                f"7B int8 decode step (pool={pool}, paged_kernel="
+                f"7B {quant} decode step (pool={pool}, paged_kernel="
                 f"{use_kernel}): {ms:8.3f} ms/step -> {B / (ms / 1e3):7.1f} "
                 f"tok/s  (compile+warmup {compile_s:.0f}s)",
                 flush=True,
