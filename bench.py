@@ -87,7 +87,7 @@ def main() -> None:
     run(2, 8)
     warmup_s = time.monotonic() - t0
 
-    engine.stats = EngineStats()
+    engine.reset_stats()  # scheduler thread swaps at its loop boundary
     t0 = time.monotonic()
     run(batch, max_tokens)
     wall_s = time.monotonic() - t0

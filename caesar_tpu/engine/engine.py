@@ -213,6 +213,7 @@ class Engine:
         self._prefilling: Optional[_Sequence] = None
 
         self._wake = threading.Event()
+        self._stats_reset = threading.Event()
         self._running = True
         self._fatal: Optional[BaseException] = None
         self._thread = threading.Thread(
@@ -257,10 +258,18 @@ class Engine:
             raise RuntimeError("engine loop died") from self._fatal
         future: Future = Future()
         prompt = self.tokenizer.encode(request.prompt)
-        # leave room for at least one generated token
+        # leave room for at least one generated token; a too-long prompt
+        # fails loudly — silently truncating the tail would drop the
+        # harness's instruction block and change the task
         max_prompt = self.econf.max_seq_len - 1
         if len(prompt) > max_prompt:
-            prompt = prompt[:max_prompt]
+            future.set_exception(
+                ValueError(
+                    f"prompt is {len(prompt)} tokens but max_seq_len="
+                    f"{self.econf.max_seq_len} leaves room for {max_prompt}"
+                )
+            )
+            return future
         seq = _Sequence(request=request, future=future, prompt=prompt,
                         pages=[], n_cached=0, prefilled=0)
         self._pending.put(seq)
@@ -269,6 +278,15 @@ class Engine:
 
     def generate_sync(self, request: GenerateRequest) -> GenerateResult:
         return self.submit(request).result()
+
+    def reset_stats(self) -> None:
+        """Swap in fresh counters at the next scheduler-loop boundary.
+
+        Replacing `engine.stats` from another thread mid-chunk would let
+        counters straddle the swap; the scheduler thread performs the swap
+        itself between chunks."""
+        self._stats_reset.set()
+        self._wake.set()
 
     def close(self) -> None:
         self._running = False
@@ -285,6 +303,9 @@ class Engine:
     def _loop(self) -> None:
         try:
             while self._running:
+                if self._stats_reset.is_set():
+                    self.stats = EngineStats()
+                    self._stats_reset.clear()
                 progressed = False
                 progressed |= self._admit()
                 progressed |= self._prefill_one_chunk()
@@ -486,6 +507,13 @@ class Engine:
             top_k[i] = req.top_k
             top_p[i] = req.top_p
 
+        # staging may have preempted sequences out of their slots; emitting
+        # for a stale entry would read out[-1] — another slot's row — and
+        # corrupt both sequences.  Emit only what was actually staged.
+        staged = [s for s in active if s.slot >= 0 and active_mask[s.slot]]
+        if not staged:
+            return True  # the preemptions were the progress
+
         t_staged = time.monotonic()
         self._rng, sub = jax.random.split(self._rng)
         state = DecodeState(
@@ -520,7 +548,7 @@ class Engine:
             )
 
         emitted = 0
-        for seq in list(active):
+        for seq in staged:
             row = out[seq.slot]
             for token in row:
                 if len(seq.generated) >= seq.request.max_tokens:
@@ -543,7 +571,7 @@ class Engine:
 
         self.stats.decode_tokens += emitted
         self.stats.decode_dispatches += 1
-        self.stats.batch_occupancy_sum += len(active)
+        self.stats.batch_occupancy_sum += len(staged)
         self.stats.decode_time_s += time.monotonic() - t0
         return True
 
@@ -564,7 +592,11 @@ class Engine:
         self._preempted.append(seq)
 
     def _retire(self, seq: _Sequence) -> None:
+        assert seq.slot >= 0 and self._slots[seq.slot] is seq, (
+            "retiring a sequence that does not own its slot"
+        )
         self._slots[seq.slot] = None
+        seq.slot = -1
         generated = seq.generated
         if generated and generated[-1] == self.tokenizer.eos_id:
             generated = generated[:-1]

@@ -92,6 +92,8 @@ def make_handler(engine: Engine, model_name: str):
                 top_p=float(body.get("top_p", 1.0)),
                 top_k=int(body.get("top_k", 50)),
                 max_tokens=int(body.get("max_tokens", 512)),
+                min_tokens=int(body.get("min_tokens", 1)),
+                seed=int(body.get("seed", 0)),
                 trajectory_id=body.get("user", str(uuid.uuid4())),
             )
             try:

@@ -39,6 +39,10 @@ class GenerateRequest:
     max_tokens: int = 4096
     #: suppress EOS until this many tokens are generated (0 disables)
     min_tokens: int = 1
+    #: reasoning-model effort hint, forwarded to HTTP providers and mapped
+    #: to an EOS-deferral budget by the in-house engine (reference
+    #: query_server contract, state_machine.py:238-241)
+    reasoning_effort: str = ""
     seed: int = 0
     #: stable id of the requesting trajectory — lets the engine route
     #: cross-turn prefix reuse per problem/sample
@@ -178,8 +182,14 @@ class HttpGenerator:
             "messages": [{"role": "user", "content": request.prompt}],
             "temperature": request.temperature,
             "top_p": request.top_p,
+            "top_k": request.top_k,
+            "seed": request.seed,
             "max_tokens": request.max_tokens,
         }
+        if request.min_tokens > 1:
+            payload["min_tokens"] = request.min_tokens  # sglang extension
+        if request.reasoning_effort:
+            payload["reasoning_effort"] = request.reasoning_effort
         data = await asyncio.to_thread(self._post, payload)
         text = data["choices"][0]["message"]["content"]
         usage = data.get("usage", {})

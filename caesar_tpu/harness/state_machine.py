@@ -161,6 +161,26 @@ class TrajectoryStateMachine:
         self._turn_t0 = time.monotonic()
         self.outcome = Outcome.Start
 
+    def _reasoning_min_tokens(self) -> int:
+        """Map the reasoning-model knobs onto the engine's EOS-deferral
+        budget (min_tokens): the in-house equivalent of the reference's
+        per-provider budget_tokens pass-through (query_server contract,
+        reference state_machine.py:238-241, caesar_config.py:32-35).
+
+        reasoning_budget_tokens wins when set; otherwise reasoning_effort
+        names a fraction of max_tokens.  Non-reasoning runs keep the
+        default floor of 1."""
+        if not self.config.reasoning_model:
+            return 1
+        budget = self.config.reasoning_budget_tokens
+        if not budget:
+            frac = {"low": 8, "medium": 4, "high": 2}.get(
+                self.config.reasoning_effort, 4
+            )
+            budget = self.config.max_tokens // frac
+        # never force EOS deferral past the decode cap
+        return max(1, min(budget, self.config.max_tokens - 1))
+
     async def _generate(self) -> None:
         """Await the generation backend (reference generate_logic,
         state_machine.py:220-264 — there a blocking HTTP query_server)."""
@@ -172,6 +192,12 @@ class TrajectoryStateMachine:
             top_p=self.config.top_p,
             top_k=self.config.top_k,
             max_tokens=self.config.max_tokens,
+            min_tokens=self._reasoning_min_tokens(),
+            reasoning_effort=(
+                self.config.reasoning_effort
+                if self.config.reasoning_model
+                else ""
+            ),
             seed=self.config.engine.seed + self.work.sample_id,
             trajectory_id=f"{self.work.problem_id}/{self.work.sample_id}",
         )

@@ -69,13 +69,19 @@ def _shard_linear(w, mesh: Mesh, column: bool):
             qspec, sspec = P(None, "tp"), P(None, "tp")
         else:
             qspec, sspec = P("tp", None), P("tp", None)
-        return QuantizedLinear(
+            if w.scales.shape[0] % mesh.shape["tp"]:
+                # fewer group rows than shards (tiny models / big groups):
+                # replicate the scales — sharding is layout, not semantics,
+                # and GSPMD reshards at the use site either way
+                sspec = P(None, None)
+        # dataclasses.replace keeps ALL metadata (notably `act` — dropping
+        # it silently degraded w8a8 to weight-only int8 under TP)
+        import dataclasses
+
+        return dataclasses.replace(
+            w,
             qweight=_shard_leaf(w.qweight, mesh, qspec),
             scales=_shard_leaf(w.scales, mesh, sspec),
-            bits=w.bits,
-            group=w.group,
-            out_features=w.out_features,
-            in_features=w.in_features,
         )
     spec = P(None, "tp") if column else P("tp", None)
     return _shard_leaf(w, mesh, spec)

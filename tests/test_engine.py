@@ -231,3 +231,33 @@ def test_engine_tp2_matches_single_device(tiny_params):
         assert got.text == expected.text
     finally:
         sharded.close()
+
+
+def test_engine_w8a8_tp2_matches_single_device(tiny_params):
+    """w8a8 numerics under TP: the activation-quant mode must survive
+    shard_params (round-1 regression dropped `act`) and the sharded int8
+    pipeline must be token-identical to the single-device one."""
+    from caesar_tpu.parallel.plan import make_mesh
+
+    single = Engine(
+        tiny_econf(quant="w8a8"),
+        spec=TINY, params=tiny_params, tokenizer=ByteTokenizer(),
+        decode_steps=4,
+    )
+    try:
+        assert single.params["layers"][0]["wqkv"].act == "int8"
+        expected = single.generate_sync(greedy_request("w8a8 parallel", 8))
+    finally:
+        single.close()
+
+    sharded = Engine(
+        tiny_econf(quant="w8a8", tp=2),
+        spec=TINY, params=tiny_params, tokenizer=ByteTokenizer(),
+        decode_steps=4, mesh=make_mesh(2),
+    )
+    try:
+        assert sharded.params["layers"][0]["wq"].act == "int8"
+        got = sharded.generate_sync(greedy_request("w8a8 parallel", 8))
+        assert got.text == expected.text
+    finally:
+        sharded.close()

@@ -67,8 +67,17 @@ def test_oversized_request_fails_cleanly(tiny_params):
         decode_steps=4,
     )
     try:
+        # over-long prompt: fail loudly at submit (silent truncation would
+        # drop the instruction tail and change the task)
         fut = engine.submit(
             GenerateRequest(prompt="x" * 2000, temperature=0.0, max_tokens=200)
+        )
+        with pytest.raises(ValueError, match="max_seq_len"):
+            fut.result(timeout=120)
+        # fits max_seq_len but can never fit the page pool: admission fails
+        # the future instead of livelocking through preemption
+        fut = engine.submit(
+            GenerateRequest(prompt="y" * 200, temperature=0.0, max_tokens=55)
         )
         with pytest.raises(RuntimeError, match="KV pages"):
             fut.result(timeout=120)
@@ -95,3 +104,45 @@ def test_preemption_under_live_contention(tiny_params):
         assert engine._fatal is None
     finally:
         engine.close()
+
+
+@pytest.mark.parametrize("num_pages", [34, 36, 38])
+def test_decode_time_preemption_outputs_byte_identical(tiny_params, num_pages):
+    """Force preemptions DURING decode (page extension hits OutOfPages mid-
+    chunk) and require byte-identical greedy output vs an unpressured engine.
+
+    This is the engine's core durability claim (reference analogue:
+    crash-safe trajectory semantics, /root/reference/state_machine.py:91-158
+    — a resumed trajectory replays to the same state).  Round-1 regression:
+    a preempted sequence stayed in the emission list with slot=-1 and read
+    out[-1] — another slot's row — appending foreign tokens.
+    """
+    prompts = [f"preempt probe {i} zz " * 6 for i in range(5)]
+    max_tokens = 96
+
+    roomy = Engine(
+        tiny_econf(num_pages=512, prefix_cache=False, max_batch=4,
+                   max_seq_len=256),
+        spec=TINY, params=tiny_params, tokenizer=ByteTokenizer(),
+        decode_steps=4,
+    )
+    try:
+        expected = [r.text for r in run_batch(roomy, prompts, max_tokens)]
+    finally:
+        roomy.close()
+
+    tight = Engine(
+        tiny_econf(num_pages=num_pages, prefix_cache=False, max_batch=4,
+                   max_seq_len=256),
+        spec=TINY, params=tiny_params, tokenizer=ByteTokenizer(),
+        decode_steps=4,
+    )
+    try:
+        got = [r.text for r in run_batch(tight, prompts, max_tokens)]
+        assert tight.stats.preemptions > 0, (
+            "pool was not tight enough to exercise decode-time preemption"
+        )
+        assert got == expected
+        assert tight._fatal is None
+    finally:
+        tight.close()

@@ -44,6 +44,18 @@ def test_shard_quantized_params():
     assert down.qweight.sharding.spec == P("tp", None)
 
 
+def test_shard_quantized_preserves_act_mode():
+    """Round-1 regression: shard_params rebuilt QuantizedLinear without
+    `act`, silently degrading w8a8 to weight-only int8 on sharded runs."""
+    mesh = make_mesh(2)
+    qparams = quantize_params(
+        init_params(TINY, seed=0), bits=8, group=32, act="int8"
+    )
+    sharded = shard_params(TINY, qparams, mesh)
+    assert sharded["layers"][0]["wq"].act == "int8"
+    assert sharded["layers"][0]["mlp"]["down"].act == "int8"
+
+
 def test_shard_cache_over_kv_heads():
     mesh = make_mesh(2)
     cache = shard_cache(create_cache(TINY, 8, 16, "bf16"), mesh)

@@ -260,3 +260,72 @@ def test_eval_slots_bound_concurrency(tmp_path):
 
     asyncio.run(go())
     assert 1 <= max_busy <= 2
+
+
+# ----------------------------------------------------------------------
+# reasoning-model knobs reach the generation request
+# (reference query_server contract, state_machine.py:238-241)
+# ----------------------------------------------------------------------
+
+class _RecordingGenerator(MockGenerator):
+    def __init__(self):
+        super().__init__()
+        self.requests = []
+
+    async def generate(self, request):
+        self.requests.append(request)
+        return await super().generate(request)
+
+
+def test_reasoning_knobs_map_to_eos_deferral(tmp_path):
+    cfg = make_cfg(
+        tmp_path, max_k=1, reasoning_model=True,
+        reasoning_budget_tokens=512, reasoning_effort="high",
+    )
+    gen = _RecordingGenerator()
+    run_one(cfg, softmax_work(), gen)
+    req = gen.requests[0]
+    assert req.min_tokens == 512  # explicit budget wins
+    assert req.reasoning_effort == "high"
+
+
+def test_reasoning_effort_without_budget_scales_max_tokens(tmp_path):
+    cfg = make_cfg(
+        tmp_path, max_k=1, reasoning_model=True, reasoning_effort="low",
+        max_tokens=4096,
+    )
+    gen = _RecordingGenerator()
+    run_one(cfg, softmax_work(), gen)
+    assert gen.requests[0].min_tokens == 4096 // 8
+
+
+def test_non_reasoning_run_keeps_default_floor(tmp_path):
+    cfg = make_cfg(tmp_path, max_k=1, reasoning_effort="high")  # model off
+    gen = _RecordingGenerator()
+    run_one(cfg, softmax_work(), gen)
+    assert gen.requests[0].min_tokens == 1
+    assert gen.requests[0].reasoning_effort == ""
+
+
+def test_http_generator_payload_carries_full_contract():
+    """top_k/seed/min_tokens/reasoning_effort must reach the wire (the
+    reference forwarded all of these through query_server)."""
+    from caesar_tpu.harness.generate import GenerateRequest, HttpGenerator
+
+    gen = HttpGenerator("localhost", 1, "m")
+    captured = {}
+
+    def fake_post(payload):
+        captured.update(payload)
+        return {"choices": [{"message": {"content": "hi"}}], "usage": {}}
+
+    gen._post = fake_post
+    req = GenerateRequest(
+        prompt="p", temperature=0.5, top_p=0.9, top_k=7, max_tokens=64,
+        min_tokens=16, reasoning_effort="medium", seed=3,
+    )
+    asyncio.run(gen.generate(req))
+    assert captured["top_k"] == 7
+    assert captured["seed"] == 3
+    assert captured["min_tokens"] == 16
+    assert captured["reasoning_effort"] == "medium"
