@@ -69,6 +69,20 @@ class EngineConfig:
     tp: int = 1
     #: data-parallel replicas (across remaining chips)
     dp: int = 1
+    # --- multi-host (BASELINE config 5): every host runs the same engine
+    # service; jax.distributed joins them into one process group over DCN.
+    # tp stays within a host (ICI), dp replicas span hosts, and the harness
+    # driver routes trajectories across hosts via peer_addresses (HTTP).
+    #: coordinator "host:port" for jax.distributed (empty = single host,
+    #: or cluster auto-detection when num_hosts > 1)
+    coordinator_address: str = ""
+    #: total engine-service host processes in the group (1 = single host)
+    num_hosts: int = 1
+    #: this process's id in the group (-1 = auto / cluster-detected)
+    host_id: int = -1
+    #: OpenAI-compatible endpoints of PEER hosts' engine servers
+    #: ("host:port" strings) — the driver-side DCN control plane
+    peer_addresses: List[str] = dataclasses.field(default_factory=list)
     #: enable cross-turn/cross-sample prefix KV reuse
     prefix_cache: bool = True
     #: admit+prefill pending requests before decoding (throughput-first;

@@ -179,7 +179,25 @@ def main(argv=None) -> None:
         cfg.apply_override(key, _parse_value(raw))
     cfg.finalize()
 
-    engine = Engine(cfg.engine)
+    econf = cfg.engine
+    if econf.num_hosts > 1 or econf.coordinator_address:
+        # worker hosts of a multi-host pod join the process group first so
+        # their meshes see the global topology (BASELINE config 5)
+        from caesar_tpu.parallel.multihost import init_distributed
+
+        init_distributed(
+            econf.coordinator_address or None,
+            econf.num_hosts if econf.num_hosts > 1 else None,
+            econf.host_id if econf.host_id >= 0 else None,
+        )
+    if econf.tp > 1:
+        import jax
+
+        from caesar_tpu.parallel.plan import make_mesh
+
+        engine = Engine(econf, mesh=make_mesh(econf.tp, jax.local_devices()))
+    else:
+        engine = Engine(econf)
     server = serve(engine, port=port)
     print(f"caesar-tpu engine serving {cfg.engine.model} on :{port}")
     try:

@@ -160,11 +160,20 @@ class HttpGenerator:
         port: Optional[int],
         model_name: str,
         timeout: float = 600.0,
+        api: str = "chat",
     ):
+        """api="chat" wraps the prompt in a chat message (external
+        providers); api="completions" sends the raw prompt byte-for-byte —
+        required when the endpoint is a peer host's own engine server and
+        outputs must match a local engine's (multi-host dp routing)."""
         host = address if "://" in address else f"http://{address}"
         if port:
             host = f"{host}:{port}"
-        self.url = f"{host}/v1/chat/completions"
+        if api not in ("chat", "completions"):
+            raise ValueError(f"Bad api {api!r}")
+        self.api = api
+        path = "chat/completions" if api == "chat" else "completions"
+        self.url = f"{host}/v1/{path}"
         self.model_name = model_name
         self.timeout = timeout
 
@@ -179,19 +188,32 @@ class HttpGenerator:
     async def generate(self, request: GenerateRequest) -> GenerateResult:
         payload = {
             "model": self.model_name,
-            "messages": [{"role": "user", "content": request.prompt}],
             "temperature": request.temperature,
             "top_p": request.top_p,
             "top_k": request.top_k,
             "seed": request.seed,
             "max_tokens": request.max_tokens,
         }
+        if self.api == "chat":
+            payload["messages"] = [
+                {"role": "user", "content": request.prompt}
+            ]
+        else:
+            payload["prompt"] = request.prompt
         if request.min_tokens > 1:
             payload["min_tokens"] = request.min_tokens  # sglang extension
         if request.reasoning_effort:
             payload["reasoning_effort"] = request.reasoning_effort
+        if request.trajectory_id:
+            # peers route prefix-cache locality by trajectory, like we do
+            payload["user"] = request.trajectory_id
         data = await asyncio.to_thread(self._post, payload)
-        text = data["choices"][0]["message"]["content"]
+        choice = data["choices"][0]
+        text = (
+            choice["message"]["content"]
+            if self.api == "chat"
+            else choice["text"]
+        )
         usage = data.get("usage", {})
         return GenerateResult(text, usage)
 
