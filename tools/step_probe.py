@@ -1,0 +1,257 @@
+"""Per-op decode-step budget for the 7B serving config (VERDICT r1 item 2).
+
+Builds DEVICE-SIDE fake weights with the exact shapes/dtypes of the serving
+engine's quantized 7B params (values are irrelevant for timing; building on
+device skips the 9 GB host cache load), then times:
+
+  * the full decode_steps scan (the real serving dispatch), and
+  * each component in isolation (differential in-jit loops, immune to the
+    axon tunnel's per-dispatch noise — same method as kernel_probe.py),
+
+printing a budget table whose sum should account for the step.
+
+    python tools/step_probe.py [quant] [batch] [ctx]
+    e.g. python tools/step_probe.py w8a8 32 384
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from tools.kernel_probe import loop_time
+
+
+def build_fake_params(spec, quant: str, key):
+    """Device-resident params with serving shapes; no host materialization."""
+    import jax
+    import jax.numpy as jnp
+
+    from caesar_tpu.engine.quant import QuantizedLinear
+
+    act = "int8" if quant == "w8a8" else "none"
+    bits = {"int8": 8, "w8a8": 8, "int4": 4}.get(quant)
+
+    keys = iter(jax.random.split(key, 8 * spec.n_layers + 8))
+
+    def ql(d_in, d_out):
+        rows = d_in // 2 if bits == 4 else d_in
+        qw = jax.random.randint(next(keys), (rows, d_out), -127, 127, jnp.int8)
+        scales = jnp.full((d_in // 128, d_out), 0.01, jnp.bfloat16)
+        return QuantizedLinear(
+            qweight=qw, scales=scales, bits=bits, group=128,
+            out_features=d_out, in_features=d_in, act=act,
+        )
+
+    def mat(d_in, d_out):
+        if bits is not None:
+            return ql(d_in, d_out)
+        return (
+            jax.random.normal(next(keys), (d_in, d_out), jnp.bfloat16)
+            / np.sqrt(d_in)
+        )
+
+    layers = []
+    for _ in range(spec.n_layers):
+        layers.append(
+            {
+                "ln_attn": jnp.ones((spec.dim,), jnp.bfloat16),
+                "ln_mlp": jnp.ones((spec.dim,), jnp.bfloat16),
+                "wqkv": mat(spec.dim, spec.q_dim + 2 * spec.kv_dim),
+                "bqkv": jnp.zeros(
+                    (spec.q_dim + 2 * spec.kv_dim,), jnp.bfloat16
+                ),
+                "wo": mat(spec.q_dim, spec.dim),
+                "mlp": {
+                    "gate_up": mat(spec.dim, 2 * spec.hidden),
+                    "down": mat(spec.hidden, spec.dim),
+                },
+            }
+        )
+    params = {
+        "embed": jax.random.normal(
+            next(keys), (spec.vocab, spec.dim), jnp.bfloat16
+        ) * 0.02,
+        "layers": layers,
+        "ln_out": jnp.ones((spec.dim,), jnp.bfloat16),
+    }
+    if not spec.tie_embeddings:
+        params["unembed"] = (
+            ql(spec.dim, spec.vocab)
+            if bits is not None and spec.vocab % 256 == 0
+            else jax.random.normal(
+                next(keys), (spec.dim, spec.vocab), jnp.bfloat16
+            ) / np.sqrt(spec.dim)
+        )
+    return params
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from caesar_tpu.engine import kvcache, step as step_mod
+    from caesar_tpu.engine.model import get_spec, linear, mlp, qkv_project
+    from caesar_tpu.engine.sampling import sample_tokens
+    from caesar_tpu.engine.step import DecodeState
+
+    quant = sys.argv[1] if len(sys.argv) > 1 else "w8a8"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    ctx = int(sys.argv[3]) if len(sys.argv) > 3 else 384
+    kv_quant = os.environ.get("PROBE_KV", "bf16")
+    page_size = 64
+    max_seq = 2048
+    n_steps = int(os.environ.get("PROBE_DECODE_STEPS", "32"))
+
+    spec = get_spec(os.environ.get("PROBE_MODEL", "qwen2.5-coder-7b"))
+    key = jax.random.PRNGKey(0)
+    params = build_fake_params(spec, quant, key)
+    n_pages = batch * (max_seq // page_size) // 2 + 64
+    cache = kvcache.create_cache(spec, n_pages, page_size, kv_quant)
+
+    used = -(-ctx // page_size)
+    tables = np.zeros((batch, max_seq // page_size), np.int32)
+    nxt = 1
+    for b in range(batch):
+        for j in range(used + n_steps // page_size + 1):
+            tables[b, j] = nxt % n_pages
+            nxt += 1
+    state = DecodeState(
+        tokens=jnp.full((batch,), 7, jnp.int32),
+        positions=jnp.full((batch,), ctx - 1, jnp.int32),
+        page_tables=jnp.asarray(tables),
+        done=jnp.zeros((batch,), bool),
+        active=jnp.ones((batch,), bool),
+        eos_floor=jnp.zeros((batch,), jnp.int32),
+        temperature=jnp.zeros((batch,), jnp.float32),
+        top_k=jnp.zeros((batch,), jnp.int32),
+        top_p=jnp.ones((batch,), jnp.float32),
+        rng=jax.random.PRNGKey(1),
+    )
+    eos = jnp.asarray(2, jnp.int32)
+    use_kernel = jax.default_backend() == "tpu"
+
+    # ---- full step: time the REAL decode_steps dispatch --------------
+    import time
+
+    def run_decode(n):
+        nonlocal cache, state
+        c, s = cache, state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            c, s, out = step_mod.decode_steps(
+                spec, params, c, n_steps, s, eos, use_kernel
+            )
+        np.asarray(out)  # sync
+        dt = time.perf_counter() - t0
+        cache, state = c, s
+        return dt
+
+    run_decode(1)  # compile
+    t8 = run_decode(8)
+    t2 = run_decode(2)
+    step_ms = (t8 - t2) / (6 * n_steps) * 1e3
+    print(f"decode step total: {step_ms:8.3f} ms  "
+          f"({batch / (step_ms / 1e3):,.0f} tok/s at B={batch})")
+
+    # ---- components (differential in-jit loops) ----------------------
+    layer = params["layers"][0]
+    x0 = jax.random.normal(key, (batch, 1, spec.dim), jnp.bfloat16)
+    pos2d = state.positions[:, None]
+
+    comps = {}
+
+    def comp(name, make_step, x0, extras=(), per_layer=True):
+        t_big = loop_time(make_step, x0, 200, extras)
+        t_small = loop_time(make_step, x0, 20, extras)
+        ms = (t_big - t_small) / 180 * 1e3
+        comps[name] = (ms, per_layer)
+
+    def qkv_step(x, layer=layer):
+        q, k, v = qkv_project(spec, layer, x, pos2d)
+        return x + q[..., 0, :1] * 0.0
+
+    comp("qkv proj (+rope)", qkv_step, x0)
+
+    def o_step(x, layer=layer):
+        return x * 0.999 + linear(
+            x.reshape(batch, 1, spec.q_dim), layer["wo"]
+        ) * 0.0
+
+    comp("o proj", o_step, x0)
+
+    def mlp_step(x, layer=layer):
+        return x * 0.999 + mlp(layer["mlp"], x) * 0.0
+
+    comp("mlp (gate_up+down)", mlp_step, x0)
+
+    if use_kernel:
+        from caesar_tpu.ops.paged_attention import paged_attention_decode
+
+        q0 = jax.random.normal(
+            key, (batch, spec.n_heads, spec.head_dim), jnp.bfloat16
+        )
+        layer0 = jnp.asarray(0, jnp.int32)
+
+        def attn_step(q, kp, vp):
+            out = paged_attention_decode(
+                q, kp, vp, state.page_tables, state.positions, layer0,
+                page_size,
+            )
+            return q + out * 0.0
+
+        comp("paged attention", attn_step, q0,
+             extras=(cache.k_pages, cache.v_pages))
+
+    kv1 = jax.random.normal(
+        key, (batch, spec.n_kv_heads, spec.head_dim), jnp.bfloat16
+    )
+    wp = jnp.asarray(tables[:, used - 1])
+    ws = jnp.full((batch,), 3, jnp.int32)
+
+    def write_step(kv, kp, vp):
+        from caesar_tpu.engine.kvcache import PagedKVCache
+
+        c = PagedKVCache(k_pages=kp, v_pages=vp, page_size=page_size)
+        c = kvcache.write_token(c, 0, wp, ws, kv, kv)
+        return kv + c.k_pages[0, 0, 0] * 0.0
+
+    comp("kv write (scatter)", write_step, kv1,
+         extras=(cache.k_pages, cache.v_pages))
+
+    head_w = params.get("unembed", params["embed"].T)
+
+    def head_step(x):
+        h = linear(x[:, 0], head_w)
+        return x + h[:, :1, None].astype(x.dtype) * 0.0
+
+    comp("lm head", head_step, x0, per_layer=False)
+
+    logits0 = jax.random.normal(key, (batch, spec.vocab), jnp.float32)
+
+    def sample_step(lg):
+        t = sample_tokens(lg, state.rng, state.temperature, state.top_k,
+                          state.top_p)
+        return lg + t[:, None].astype(jnp.float32) * 0.0
+
+    comp("sampling (greedy)", sample_step, logits0, per_layer=False)
+
+    total = 0.0
+    print(f"\nper-op budget (B={batch}, ctx={ctx}, quant={quant}, "
+          f"kv={kv_quant}):")
+    for name, (ms, per_layer) in comps.items():
+        n = spec.n_layers if per_layer else 1
+        tot = ms * n
+        total += tot
+        print(f"  {name:22s} {ms:8.4f} ms x{n:3d} = {tot:7.3f} ms")
+    print(f"  {'SUM of components':22s} {'':8s}        = {total:7.3f} ms")
+    print(f"  {'measured full step':22s} {'':8s}        = {step_ms:7.3f} ms"
+          f"   (unattributed: {step_ms - total:+.3f} ms)")
+
+
+if __name__ == "__main__":
+    main()
