@@ -192,19 +192,35 @@ class Engine:
 
         self.stats = EngineStats()
         self._rng = jax.random.PRNGKey(econf.seed)
-        # Pallas paged-attention path: single-device TPU (GSPMD-sharded
-        # meshes use the XLA gather path until the kernel is shard_map'd)
+        # Pallas paged-attention path: on by default on TPU.  Under a mesh
+        # the decode/prefill steps run inside shard_map (step.py), so the
+        # kernel sees the shard-local kv heads — no GSPMD gate needed.
         import os as _os
 
         from caesar_tpu.ops.paged_attention import supports as _pa_supports
 
         self._use_paged_kernel = (
-            mesh is None
-            and not _os.environ.get("CAESAR_DISABLE_PAGED_KERNEL")
-            and jax.default_backend() == "tpu"
+            not _os.environ.get("CAESAR_DISABLE_PAGED_KERNEL")
+            and (
+                jax.default_backend() == "tpu"
+                or bool(_os.environ.get("CAESAR_FORCE_PAGED_KERNEL"))
+            )
             and _pa_supports(spec, self.page_size)
         )
         self._trace = bool(_os.environ.get("CAESAR_ENGINE_TRACE"))
+        if mesh is not None:
+            # build the shard_map dispatches once; they read the placed
+            # shardings off self.params / self.cache
+            self._sharded_decode = step_mod.make_sharded_decode_steps(
+                self.spec, mesh, self.params, self.cache,
+                self.decode_steps, self._use_paged_kernel,
+            )
+            self._sharded_prefill = step_mod.make_sharded_prefill_chunk(
+                self.spec, mesh, self.params, self.cache,
+            )
+        else:
+            self._sharded_decode = None
+            self._sharded_prefill = None
 
         # host-authoritative slot state
         self._slots: List[Optional[_Sequence]] = [None] * self.max_batch
@@ -429,16 +445,27 @@ class Engine:
         table = np.zeros(self.max_pages_per_seq, dtype=np.int32)
         table[: len(seq.pages)] = seq.pages
 
-        self.cache, _logits = step_mod.prefill_chunk(
-            self.spec,
-            self.params,
-            self.cache,
-            jnp.asarray(tokens),
-            jnp.asarray(positions),
-            jnp.asarray(table),
-            jnp.asarray(np.asarray(new_pages, dtype=np.int32)),
-            jnp.asarray(real_t - 1, dtype=np.int32),
-        )
+        if self._sharded_prefill is not None:
+            self.cache, _logits = self._sharded_prefill(
+                self.params,
+                self.cache,
+                jnp.asarray(tokens),
+                jnp.asarray(positions),
+                jnp.asarray(table),
+                jnp.asarray(np.asarray(new_pages, dtype=np.int32)),
+                jnp.asarray(real_t - 1, dtype=np.int32),
+            )
+        else:
+            self.cache, _logits = step_mod.prefill_chunk(
+                self.spec,
+                self.params,
+                self.cache,
+                jnp.asarray(tokens),
+                jnp.asarray(positions),
+                jnp.asarray(table),
+                jnp.asarray(np.asarray(new_pages, dtype=np.int32)),
+                jnp.asarray(real_t - 1, dtype=np.int32),
+            )
         seq.prefilled += real_t
         self.stats.prefill_tokens += real_t
         self.stats.prefill_dispatches += 1
@@ -528,15 +555,21 @@ class Engine:
             top_p=jnp.asarray(top_p),
             rng=sub,
         )
-        self.cache, state, out = step_mod.decode_steps(
-            self.spec,
-            self.params,
-            self.cache,
-            n,
-            state,
-            jnp.asarray(self.tokenizer.eos_id, dtype=jnp.int32),
-            self._use_paged_kernel,
-        )
+        eos = jnp.asarray(self.tokenizer.eos_id, dtype=jnp.int32)
+        if self._sharded_decode is not None:
+            self.cache, state, out = self._sharded_decode(
+                self.params, self.cache, state, eos
+            )
+        else:
+            self.cache, state, out = step_mod.decode_steps(
+                self.spec,
+                self.params,
+                self.cache,
+                n,
+                state,
+                eos,
+                self._use_paged_kernel,
+            )
         t_dispatched = time.monotonic()
         out = np.asarray(out)  # [B, n] — the one host sync per chunk
         if self._trace:

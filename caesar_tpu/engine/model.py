@@ -106,13 +106,25 @@ def get_spec(name: str) -> ModelSpec:
 # ----------------------------------------------------------------------
 
 
-def linear(x: jax.Array, w: Any, bias: Optional[jax.Array] = None) -> jax.Array:
-    """x @ w with f32 accumulation; dispatches on quantized weights."""
+def linear(
+    x: jax.Array,
+    w: Any,
+    bias: Optional[jax.Array] = None,
+    tp_axis: Optional[str] = None,
+) -> jax.Array:
+    """x @ w with f32 accumulation; dispatches on quantized weights.
+
+    tp_axis: set by ROW-PARALLEL call sites inside shard_map (wo, mlp down —
+    the caller psums the partial output afterwards).  Only w8a8 consumes it:
+    the per-token activation scale syncs over the axis so sharded numerics
+    match single-device exactly.  Row-parallel weights carry no bias (a
+    per-shard bias would be multiplied by tp in the psum)."""
     if isinstance(w, quant_lib.QuantizedLinear):
-        y = quant_lib.quantized_matmul(x, w)
+        y = quant_lib.quantized_matmul(x, w, tp_axis=tp_axis)
     else:
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if bias is not None:
+        assert tp_axis is None, "row-parallel linear must not carry a bias"
         y = y + bias.astype(jnp.float32)
     return y.astype(x.dtype)
 
@@ -182,7 +194,9 @@ def attention_full(
 # ----------------------------------------------------------------------
 
 
-def mlp(params: dict, x: jax.Array) -> jax.Array:
+def mlp(params: dict, x: jax.Array, tp_axis: Optional[str] = None) -> jax.Array:
+    """tp_axis: the down projection is row-parallel under TP; the caller
+    psums the returned partial outside."""
     if "gate_up" in params:  # fused layout (quant.fuse_params)
         gu = linear(x, params["gate_up"])
         hidden = gu.shape[-1] // 2
@@ -190,7 +204,7 @@ def mlp(params: dict, x: jax.Array) -> jax.Array:
     else:
         gate = linear(x, params["gate"])
         up = linear(x, params["up"])
-    return linear(jax.nn.silu(gate) * up, params["down"])
+    return linear(jax.nn.silu(gate) * up, params["down"], tp_axis=tp_axis)
 
 
 def qkv_project(

@@ -20,7 +20,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from caesar_tpu.engine.model import ModelSpec, forward_cacheless
+from caesar_tpu.engine import kvcache
+from caesar_tpu.engine.model import (
+    ModelSpec,
+    attention_full,
+    forward_cacheless,
+    linear,
+    mlp,
+    qkv_project,
+    rms_norm,
+)
 from caesar_tpu.engine.quant import quantize_params
 
 
@@ -28,8 +37,37 @@ def token_stream(tokenizer, texts: Iterable[str], max_len: int = 512) -> List[Li
     return [tokenizer.encode(t)[:max_len] for t in texts]
 
 
+def forward_kv_rounded(
+    spec: ModelSpec, params: dict, tokens: jax.Array, kv_quant: str
+) -> jax.Array:
+    """forward_cacheless with K/V round-tripped through the KV-pool storage
+    dtype — isolates exactly the error the paged cache's storage format adds
+    (engine serving stores K/V in kv_quant and upcasts on read; see
+    kvcache.write_chunk/gather_kv)."""
+    storage = kvcache.kv_dtype(kv_quant)
+    b, t = tokens.shape
+    x = params["embed"][tokens]
+    positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+    for layer in params["layers"]:
+        h = rms_norm(x, layer["ln_attn"], spec.rms_eps)
+        q, k, v = qkv_project(spec, layer, h, positions)
+        k = k.astype(storage).astype(k.dtype)  # the pool write/read pair
+        v = v.astype(storage).astype(v.dtype)
+        attn = attention_full(q, k, v)
+        x = x + linear(attn.reshape(b, t, spec.q_dim), layer["wo"])
+        h = rms_norm(x, layer["ln_mlp"], spec.rms_eps)
+        x = x + mlp(layer["mlp"], h)
+    x = rms_norm(x, params["ln_out"], spec.rms_eps)
+    if spec.tie_embeddings:
+        return jnp.dot(x, params["embed"].T, preferred_element_type=jnp.float32)
+    return linear(x, params["unembed"]).astype(jnp.float32)
+
+
 def perplexity(
-    spec: ModelSpec, params: dict, token_ids: List[List[int]]
+    spec: ModelSpec,
+    params: dict,
+    token_ids: List[List[int]],
+    forward=forward_cacheless,
 ) -> float:
     """Mean per-token perplexity over the sequences (teacher-forced)."""
     total_nll = 0.0
@@ -38,7 +76,7 @@ def perplexity(
         if len(ids) < 2:
             continue
         tokens = jnp.asarray([ids], dtype=jnp.int32)
-        logits = forward_cacheless(spec, params, tokens)[0]  # [T, vocab]
+        logits = forward(spec, params, tokens)[0]  # [T, vocab]
         logprobs = jax.nn.log_softmax(logits[:-1], axis=-1)
         targets = tokens[0, 1:]
         nll = -jnp.take_along_axis(logprobs, targets[:, None], axis=-1)
@@ -79,4 +117,23 @@ def quant_quality_report(
             ppl8a8 = perplexity(spec, a8_params, token_ids)
             report["ppl_w8a8"] = ppl8a8
             report["delta_w8a8"] = (ppl8a8 - base) / base
+    return report
+
+
+def kv_quality_report(
+    spec: ModelSpec,
+    params: dict,
+    token_ids: List[List[int]],
+    kv_quants=("bf16", "fp8"),
+) -> Dict[str, float]:
+    """Perplexity with K/V rounded through each KV-pool storage dtype vs the
+    unrounded model — the BASELINE config-4 FP8-KV quality line item."""
+    report: Dict[str, float] = {}
+    base = perplexity(spec, params, token_ids)
+    report["ppl_kv_full"] = base
+    for kv in kv_quants:
+        fwd = lambda s, p, t, kv=kv: forward_kv_rounded(s, p, t, kv)  # noqa: E731
+        ppl = perplexity(spec, params, token_ids, forward=fwd)
+        report[f"ppl_kv_{kv}"] = ppl
+        report[f"delta_kv_{kv}"] = (ppl - base) / base
     return report

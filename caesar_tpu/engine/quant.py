@@ -107,7 +107,9 @@ def quantize_weight(
     )
 
 
-def quantize_activations(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def quantize_activations(
+    x: jax.Array, tp_axis: str | None = None
+) -> Tuple[jax.Array, jax.Array]:
     """Per-token symmetric int8 activation quantization.
 
     x [M, K] -> (q [M, K] int8, scales [M] f32).  Runs as plain XLA next to
@@ -117,10 +119,18 @@ def quantize_activations(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     by the weight scales only, and the caller multiplies the [M, N] output
     by xs[:, None] once — a column-broadcast the Mosaic lane layout cannot
     express efficiently inside the kernel.
+
+    tp_axis (inside shard_map, row-parallel matmuls): the token's K features
+    are split over shards, so the per-token absmax is pmax'd over the axis —
+    every shard quantizes with the GLOBAL scale and tensor-parallel outputs
+    stay numerically identical to single-device ([M] floats, riding the
+    psum the row-parallel matmul already pays).
     """
     m, k = x.shape
     xf = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(xf), axis=-1)
+    if tp_axis is not None:
+        absmax = jax.lax.pmax(absmax, tp_axis)
     xs = jnp.maximum(absmax / 127.0, 1e-8)  # [M]
     q = jnp.clip(jnp.round(xf / xs[:, None]), -127, 127).astype(jnp.int8)
     return q, xs
@@ -138,13 +148,22 @@ def _unpack_int4(packed: jax.Array, in_features: int) -> jax.Array:
     return interleaved.reshape(in_features, packed.shape[-1])
 
 
+def local_dims(w: QuantizedLinear) -> Tuple[int, int, int]:
+    """(in, out, group) from the ARRAY shapes — inside shard_map the leaves
+    are per-shard slices while in/out_features metadata stays global."""
+    k = w.qweight.shape[0] * (2 if w.bits == 4 else 1)
+    n = w.qweight.shape[1]
+    return k, n, k // w.scales.shape[0]
+
+
 def dequantize(w: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
     """Materialize the bf16 weight (reference/fallback path; the Pallas
     kernel dequantizes in VMEM instead)."""
-    q = w.qweight if w.bits == 8 else _unpack_int4(w.qweight, w.in_features)
-    grouped = q.reshape(w.in_features // w.group, w.group, w.out_features)
+    k, n, group = local_dims(w)
+    q = w.qweight if w.bits == 8 else _unpack_int4(w.qweight, k)
+    grouped = q.reshape(k // group, group, n)
     scaled = grouped.astype(jnp.float32) * w.scales.astype(jnp.float32)[:, None, :]
-    return scaled.reshape(w.in_features, w.out_features).astype(dtype)
+    return scaled.reshape(k, n).astype(dtype)
 
 
 def _use_pallas() -> bool:
@@ -156,23 +175,28 @@ def _use_pallas() -> bool:
         return False
 
 
-def quantized_matmul(x: jax.Array, w: QuantizedLinear) -> jax.Array:
+def quantized_matmul(
+    x: jax.Array, w: QuantizedLinear, tp_axis: str | None = None
+) -> jax.Array:
     """x [..., in] @ w -> [..., out] in f32 accumulation.
 
     TPU: fused dequant+matmul Pallas kernel (weights dequantized tile-by-tile
     in VMEM).  Elsewhere: XLA dequant + dot (fused by the compiler, used in
-    CPU tests)."""
+    CPU tests).  tp_axis: see quantize_activations — row-parallel callers
+    inside shard_map pass the mesh axis so w8a8 uses the global scale."""
     if _use_pallas():
         from caesar_tpu.ops.quant_matmul import quant_matmul_pallas
 
-        return quant_matmul_pallas(x, w)
+        return quant_matmul_pallas(x, w, tp_axis=tp_axis)
     if w.act == "int8":
-        return _w8a8_matmul_xla(x, w)
+        return _w8a8_matmul_xla(x, w, tp_axis=tp_axis)
     wf = dequantize(w, dtype=jnp.bfloat16)
     return jnp.dot(x, wf, preferred_element_type=jnp.float32)
 
 
-def _w8a8_matmul_xla(x: jax.Array, w: QuantizedLinear) -> jax.Array:
+def _w8a8_matmul_xla(
+    x: jax.Array, w: QuantizedLinear, tp_axis: str | None = None
+) -> jax.Array:
     """XLA emulation of the w8a8 kernel (CPU tests / non-TPU backends).
 
     Same numerics as the Pallas path: activations int8 per-token, int
@@ -181,18 +205,18 @@ def _w8a8_matmul_xla(x: jax.Array, w: QuantizedLinear) -> jax.Array:
     the weight scale, per-token rescale at the end.
     """
     leading = x.shape[:-1]
-    k = w.in_features
+    k, n, group = local_dims(w)
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
     qw = w.qweight if w.bits == 8 else _unpack_int4(w.qweight, k)
-    xq, xs = quantize_activations(x2)  # [M, K] i8, [M] f32
-    g = k // w.group
-    xg = xq.reshape(m, g, w.group).astype(jnp.float32)
-    wg = qw.reshape(g, w.group, w.out_features).astype(jnp.float32)
+    xq, xs = quantize_activations(x2, tp_axis)  # [M, K] i8, [M] f32
+    g = k // group
+    xg = xq.reshape(m, g, group).astype(jnp.float32)
+    wg = qw.reshape(g, group, n).astype(jnp.float32)
     ig = jnp.einsum("mgk,gkn->mgn", xg, wg)  # exact int math in f32
     out = jnp.sum(ig * w.scales.astype(jnp.float32)[None], axis=1)
     out = out * xs[:, None]
-    return out.reshape(*leading, w.out_features)
+    return out.reshape(*leading, n)
 
 
 def quantize_params(

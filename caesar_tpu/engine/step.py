@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -82,13 +82,22 @@ class DecodeState:
     rng: jax.Array
 
 
-def _lm_head(spec: ModelSpec, params: dict, x: jax.Array) -> jax.Array:
+def _lm_head(
+    spec: ModelSpec, params: dict, x: jax.Array,
+    tp_axis: Optional[str] = None,
+) -> jax.Array:
     if spec.tie_embeddings:
+        # embeddings are replicated under TP: full logits on every shard
         return jnp.dot(
             x, params["embed"].T, preferred_element_type=jnp.float32
         )
     # untied head may be a QuantizedLinear (engine.quant_head)
-    return linear(x, params["unembed"]).astype(jnp.float32)
+    logits = linear(x, params["unembed"]).astype(jnp.float32)
+    if tp_axis is not None:
+        # vocab-sharded head: gather the shards' logit tiles (contiguous
+        # vocab chunks in shard order) so sampling sees the full row
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    return logits
 
 
 def _paged_attention(
@@ -126,6 +135,42 @@ def _paged_attention(
 # ----------------------------------------------------------------------
 
 
+def _prefill_impl(
+    spec: ModelSpec,
+    params: dict,
+    cache: PagedKVCache,
+    tokens: jax.Array,
+    positions: jax.Array,
+    page_table: jax.Array,
+    chunk_page_ids: jax.Array,
+    last_index: jax.Array,
+    tp_axis: Optional[str] = None,
+) -> Tuple[PagedKVCache, jax.Array]:
+    """Prefill body, shared by the single-device jit and the shard_map
+    tensor-parallel wrapper (tp_axis set => spec is the LOCAL shard's head
+    counts; row-parallel wo/down psum explicitly)."""
+    x = params["embed"][tokens][None]  # [1, T, D]
+    pos2d = positions[None]  # [1, T]
+    for layer_idx, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["ln_attn"], spec.rms_eps)
+        q, k, v = qkv_project(spec, layer, h, pos2d)
+        cache = kvcache.write_chunk(cache, layer_idx, chunk_page_ids, k[0], v[0])
+        attn = _paged_attention(spec, cache, layer_idx, q, page_table[None], pos2d)
+        delta = linear(attn.reshape(1, -1, spec.q_dim), layer["wo"],
+                       tp_axis=tp_axis)
+        if tp_axis is not None:
+            delta = jax.lax.psum(delta, tp_axis)  # row-parallel wo
+        x = x + delta
+        h = rms_norm(x, layer["ln_mlp"], spec.rms_eps)
+        delta = mlp(layer["mlp"], h, tp_axis=tp_axis)
+        if tp_axis is not None:
+            delta = jax.lax.psum(delta, tp_axis)  # row-parallel down
+        x = x + delta
+    x = rms_norm(x, params["ln_out"], spec.rms_eps)
+    last_hidden = x[0, last_index]  # [D]
+    return cache, _lm_head(spec, params, last_hidden[None], tp_axis)[0]
+
+
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
 def prefill_chunk(
     spec: ModelSpec,
@@ -139,19 +184,10 @@ def prefill_chunk(
 ) -> Tuple[PagedKVCache, jax.Array]:
     """Run one prefill chunk of a single sequence; returns (cache, logits of
     the chunk's last real token [vocab])."""
-    x = params["embed"][tokens][None]  # [1, T, D]
-    pos2d = positions[None]  # [1, T]
-    for layer_idx, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["ln_attn"], spec.rms_eps)
-        q, k, v = qkv_project(spec, layer, h, pos2d)
-        cache = kvcache.write_chunk(cache, layer_idx, chunk_page_ids, k[0], v[0])
-        attn = _paged_attention(spec, cache, layer_idx, q, page_table[None], pos2d)
-        x = x + linear(attn.reshape(1, -1, spec.q_dim), layer["wo"])
-        h = rms_norm(x, layer["ln_mlp"], spec.rms_eps)
-        x = x + mlp(layer["mlp"], h)
-    x = rms_norm(x, params["ln_out"], spec.rms_eps)
-    last_hidden = x[0, last_index]  # [D]
-    return cache, _lm_head(spec, params, last_hidden[None])[0]
+    return _prefill_impl(
+        spec, params, cache, tokens, positions, page_table,
+        chunk_page_ids, last_index,
+    )
 
 
 # ----------------------------------------------------------------------
@@ -166,8 +202,17 @@ def _decode_one(
     state: DecodeState,
     eos_id: int,
     use_kernel: bool = False,
+    tp_axis: Optional[str] = None,
+    interpret: bool = False,
 ) -> Tuple[PagedKVCache, DecodeState, jax.Array]:
-    """One decode step for the whole batch; returns sampled tokens [B]."""
+    """One decode step for the whole batch; returns sampled tokens [B].
+
+    With tp_axis set the function runs INSIDE shard_map over that mesh axis
+    (spec must then be the LOCAL shard's head counts): attention and the
+    column-parallel matmuls are shard-local, and the two row-parallel
+    projections (wo, mlp down) psum explicitly — the Megatron pairing the
+    GSPMD path expressed implicitly, now manual so the Pallas kernels can
+    run per-shard."""
     b = state.tokens.shape[0]
     page_size = cache.page_size
 
@@ -198,17 +243,25 @@ def _decode_one(
                 state.positions,
                 jnp.asarray(layer_idx, dtype=jnp.int32),
                 cache.page_size,
+                interpret=interpret,
             )[:, None]
         else:
             attn = _paged_attention(
                 spec, cache, layer_idx, q, state.page_tables, pos2d
             )
-        x = x + linear(attn.reshape(b, 1, spec.q_dim), layer["wo"])
+        delta = linear(attn.reshape(b, 1, spec.q_dim), layer["wo"],
+                       tp_axis=tp_axis)
+        if tp_axis is not None:
+            delta = jax.lax.psum(delta, tp_axis)  # row-parallel wo
+        x = x + delta
         h = rms_norm(x, layer["ln_mlp"], spec.rms_eps)
-        x = x + mlp(layer["mlp"], h)
+        delta = mlp(layer["mlp"], h, tp_axis=tp_axis)
+        if tp_axis is not None:
+            delta = jax.lax.psum(delta, tp_axis)  # row-parallel down
+        x = x + delta
 
     x = rms_norm(x, params["ln_out"], spec.rms_eps)
-    logits = _lm_head(spec, params, x[:, 0])  # [B, vocab]
+    logits = _lm_head(spec, params, x[:, 0], tp_axis)  # [B, vocab]
 
     # min_tokens: force EOS out of the distribution until the floor
     suppress = state.positions < state.eos_floor  # [B]
@@ -270,3 +323,117 @@ def decode_steps(
         body, (cache, state), None, length=n_steps
     )
     return cache, state, tokens.T  # [B, n_steps]
+
+
+# ----------------------------------------------------------------------
+# tensor-parallel dispatch (shard_map over the tp axis)
+# ----------------------------------------------------------------------
+
+
+def _local_shard_spec(spec: ModelSpec, mesh: "jax.sharding.Mesh") -> ModelSpec:
+    """The per-shard view of the model: head counts divided over tp (the
+    Megatron head-parallel plan in parallel/plan.py)."""
+    tp = mesh.shape["tp"]
+    if spec.n_heads % tp or spec.n_kv_heads % tp:
+        raise ValueError(
+            f"tp={tp} must divide n_heads={spec.n_heads} and "
+            f"n_kv_heads={spec.n_kv_heads}"
+        )
+    return dataclasses.replace(
+        spec,
+        n_heads=spec.n_heads // tp,
+        n_kv_heads=spec.n_kv_heads // tp,
+    )
+
+
+def make_sharded_prefill_chunk(
+    spec: ModelSpec,
+    mesh: "jax.sharding.Mesh",
+    params: dict,
+    cache: PagedKVCache,
+):
+    """Tensor-parallel prefill dispatch: _prefill_impl inside shard_map.
+
+    Prefill under GSPMD would feed the Pallas quant-matmul custom calls
+    global shapes the partitioner cannot split; under shard_map each shard
+    runs them on its own columns/rows (see make_sharded_decode_steps)."""
+    from jax.sharding import PartitionSpec as P
+
+    local_spec = _local_shard_spec(spec, mesh)
+    param_specs = jax.tree.map(lambda l: l.sharding.spec, params)
+    cache_specs = jax.tree.map(lambda l: l.sharding.spec, cache)
+
+    def inner(params, cache, tokens, positions, page_table,
+              chunk_page_ids, last_index):
+        return _prefill_impl(
+            local_spec, params, cache, tokens, positions, page_table,
+            chunk_page_ids, last_index, tp_axis="tp",
+        )
+
+    sharded = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(param_specs, cache_specs, P(), P(), P(), P(), P()),
+        out_specs=(cache_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1,))
+
+
+def make_sharded_decode_steps(
+    spec: ModelSpec,
+    mesh: "jax.sharding.Mesh",
+    params: dict,
+    cache: PagedKVCache,
+    n_steps: int,
+    use_kernel: bool,
+):
+    """Build the tensor-parallel decode dispatch: the full n_steps scan runs
+    inside ONE shard_map region over the "tp" axis.
+
+    Why shard_map and not GSPMD here: the Pallas paged-attention and fused
+    dequant-matmul kernels are custom calls GSPMD cannot partition, so the
+    round-1 engine disabled them on any mesh — exactly the 8-chip configs
+    that matter.  Under shard_map every shard runs the kernels on its own
+    kv-heads/columns (attention is fully shard-local in the Megatron
+    head-parallel plan), and the only collectives are the per-layer psums
+    after the row-parallel wo/down matmuls plus one logits all-gather —
+    issued explicitly, so XLA can schedule them asynchronously against
+    independent work (the KV scatter of the next layer's write).
+
+    in/out specs are read off the params/cache leaves' actual shardings
+    (plan.shard_params placed them), so the one source of truth is the plan.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    local_spec = _local_shard_spec(spec, mesh)
+    param_specs = jax.tree.map(lambda l: l.sharding.spec, params)
+    cache_specs = jax.tree.map(lambda l: l.sharding.spec, cache)
+    interpret = jax.default_backend() != "tpu"
+    state_specs = DecodeState(
+        tokens=P(), positions=P(), page_tables=P(), done=P(), active=P(),
+        eos_floor=P(), temperature=P(), top_k=P(), top_p=P(), rng=P(),
+    )
+
+    def inner(params, cache, state, eos_id):
+        def body(carry, _):
+            c, s = carry
+            c, s, emitted = _decode_one(
+                local_spec, params, c, s, eos_id, use_kernel,
+                tp_axis="tp", interpret=interpret,
+            )
+            return (c, s), emitted
+
+        (cache, state), tokens = jax.lax.scan(
+            body, (cache, state), None, length=n_steps
+        )
+        return cache, state, tokens.T
+
+    sharded = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(param_specs, cache_specs, state_specs, P()),
+        out_specs=(cache_specs, state_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1,))

@@ -310,9 +310,20 @@ def _int4_matmul(x, qweight, scales, group, k, n, bk, bn, interpret):
     )(x_even, x_odd, qweight, s3, s3)
 
 
+def _local_dims(w) -> Tuple[int, int, int]:
+    """(k, n, group) from the ARRAY shapes, not the metadata — inside
+    shard_map the leaves are per-shard slices while in/out_features stay
+    global, so shapes are the single source of truth."""
+    k = w.qweight.shape[0] * (2 if w.bits == 4 else 1)
+    n = w.qweight.shape[1]
+    group = k // w.scales.shape[0]
+    return k, n, group
+
+
 def _tiles_for(w) -> Optional[Tuple[int, int]]:
-    bn = _pick_tile(w.out_features, _BN_CANDIDATES)
-    bk = _pick_tile(w.in_features, _BK_CANDIDATES, multiple_of=w.group)
+    k, n, group = _local_dims(w)
+    bn = _pick_tile(n, _BN_CANDIDATES)
+    bk = _pick_tile(k, _BK_CANDIDATES, multiple_of=group)
     if bn is None or bk is None:
         return None
     return bk, bn
@@ -320,22 +331,27 @@ def _tiles_for(w) -> Optional[Tuple[int, int]]:
 
 def supports(w) -> bool:
     """Whether the kernel tiles this QuantizedLinear evenly."""
-    return w.in_features % w.group == 0 and _tiles_for(w) is not None
+    k, _, group = _local_dims(w)
+    return k % group == 0 and _tiles_for(w) is not None
 
 
-def quant_matmul_pallas(x: jax.Array, w) -> jax.Array:
-    """x [..., K] @ dequant(w) -> [..., N] f32 via the fused kernel."""
+def quant_matmul_pallas(x: jax.Array, w, tp_axis=None) -> jax.Array:
+    """x [..., K] @ dequant(w) -> [..., N] f32 via the fused kernel.
+
+    tp_axis: mesh axis name when called on a row-parallel shard inside
+    shard_map — the w8a8 activation scale is pmax'd over it so every shard
+    quantizes with the global per-token scale (exact single-device parity).
+    """
     from caesar_tpu.engine.quant import dequantize, quantize_activations
 
-    tiles = _tiles_for(w) if w.in_features % w.group == 0 else None
+    k, n, group = _local_dims(w)
+    tiles = _tiles_for(w) if k % group == 0 else None
     if tiles is None:
         wf = dequantize(w, dtype=jnp.bfloat16)
         return jnp.dot(x, wf, preferred_element_type=jnp.float32)
     bk, bn = tiles
 
     leading = x.shape[:-1]
-    k = w.in_features
-    n = w.out_features
     x2 = x.reshape(-1, k).astype(jnp.bfloat16)
     m = x2.shape[0]
 
@@ -345,12 +361,12 @@ def quant_matmul_pallas(x: jax.Array, w) -> jax.Array:
         m_pad = -m % 32
         if m_pad:
             x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
-        tiles8 = _pick_tiles_w8a8(x2.shape[0], k, n, w.group)
+        tiles8 = _pick_tiles_w8a8(x2.shape[0], k, n, group)
         if tiles8 is not None:
             bk, bn = tiles8
-        xq, xs = quantize_activations(x2)
+        xq, xs = quantize_activations(x2, tp_axis)
         out = _w8a8_matmul(
-            xq, w.qweight, w.scales, w.group, k, n, bk, bn, interpret
+            xq, w.qweight, w.scales, group, k, n, bk, bn, interpret
         )
         out = out * xs[:, None]  # per-token rescale (fused by XLA)
     else:
@@ -358,7 +374,7 @@ def quant_matmul_pallas(x: jax.Array, w) -> jax.Array:
         if m_pad:
             x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
         fn = _int8_matmul if w.bits == 8 else _int4_matmul
-        out = fn(x2, w.qweight, w.scales, w.group, k, n, bk, bn, interpret)
+        out = fn(x2, w.qweight, w.scales, group, k, n, bk, bn, interpret)
     if m_pad:
         out = out[:m]
     return out.reshape(*leading, n)

@@ -62,22 +62,45 @@ def _shard_leaf(leaf, mesh: Mesh, spec: P):
     return jax.device_put(leaf, NamedSharding(mesh, spec))
 
 
+def _refine_group(w: QuantizedLinear, tp: int) -> QuantizedLinear:
+    """Re-express a quantized weight with a finer group size whose scale
+    rows divide tp (scale row r' of the refined table = scales[r'*g'//g]),
+    so row-parallel shards each hold exactly their own scale rows."""
+    import dataclasses
+    import math
+
+    k = w.qweight.shape[0] * (2 if w.bits == 4 else 1)
+    if k % tp:
+        raise ValueError(f"cannot row-shard in={k} over tp={tp}")
+    g_new = math.gcd(w.group, k // tp)
+    if w.bits == 4 and g_new % 2:
+        raise ValueError("int4 refinement needs an even group")
+    repeat = w.group // g_new
+    return dataclasses.replace(
+        w,
+        scales=jnp.repeat(w.scales, repeat, axis=0),
+        group=g_new,
+    )
+
+
 def _shard_linear(w, mesh: Mesh, column: bool):
     """Shard a dense or quantized [in, out] weight."""
     if isinstance(w, QuantizedLinear):
+        import dataclasses
+
         if column:
             qspec, sspec = P(None, "tp"), P(None, "tp")
         else:
             qspec, sspec = P("tp", None), P("tp", None)
             if w.scales.shape[0] % mesh.shape["tp"]:
-                # fewer group rows than shards (tiny models / big groups):
-                # replicate the scales — sharding is layout, not semantics,
-                # and GSPMD reshards at the use site either way
-                sspec = P(None, None)
+                # fewer scale rows than shards (tiny models / big groups):
+                # refine the group by repeating scale rows — numerically
+                # identical, and keeps every shard's local slice
+                # self-describing (shard_map kernels derive group from the
+                # local scales shape)
+                w = _refine_group(w, mesh.shape["tp"])
         # dataclasses.replace keeps ALL metadata (notably `act` — dropping
         # it silently degraded w8a8 to weight-only int8 under TP)
-        import dataclasses
-
         return dataclasses.replace(
             w,
             qweight=_shard_leaf(w.qweight, mesh, qspec),

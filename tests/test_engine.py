@@ -233,6 +233,43 @@ def test_engine_tp2_matches_single_device(tiny_params):
         sharded.close()
 
 
+def test_engine_tp2_paged_kernel_matches_xla_path(monkeypatch):
+    """The Pallas paged-attention kernel under TP=2 shard_map (interpret
+    mode on CPU) is token-identical to the single-device XLA gather path.
+    Needs a head_dim-128 spec — the kernel's Mosaic lane constraint."""
+    from caesar_tpu.engine.model import ModelSpec
+    from caesar_tpu.parallel.plan import make_mesh
+
+    spec = ModelSpec(
+        "kernel-tiny", vocab=512, dim=64, n_layers=2, n_heads=4,
+        n_kv_heads=2, head_dim=128, hidden=128, rope_theta=1e4,
+        tie_embeddings=True,
+    )
+    params = init_params(spec, seed=0, dtype=jnp.float32)
+
+    single = Engine(
+        tiny_econf(), spec=spec, params=params, tokenizer=ByteTokenizer(),
+        decode_steps=4,
+    )
+    try:
+        assert not single._use_paged_kernel  # CPU: XLA gather reference
+        expected = single.generate_sync(greedy_request("kernel parity", 8))
+    finally:
+        single.close()
+
+    monkeypatch.setenv("CAESAR_FORCE_PAGED_KERNEL", "1")
+    sharded = Engine(
+        tiny_econf(tp=2), spec=spec, params=params, tokenizer=ByteTokenizer(),
+        decode_steps=4, mesh=make_mesh(2),
+    )
+    try:
+        assert sharded._use_paged_kernel
+        got = sharded.generate_sync(greedy_request("kernel parity", 8))
+        assert got.text == expected.text
+    finally:
+        sharded.close()
+
+
 def test_engine_w8a8_tp2_matches_single_device(tiny_params):
     """w8a8 numerics under TP: the activation-quant mode must survive
     shard_params (round-1 regression dropped `act`) and the sharded int8

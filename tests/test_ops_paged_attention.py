@@ -95,6 +95,62 @@ def test_kernel_page_boundary_lengths():
     np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
 
 
+def test_kernel_fp8_pages():
+    """FP8 page storage (BASELINE config 4): the kernel upcasts fp8 tiles in
+    VMEM; accuracy vs the XLA reference computed on the same fp8-rounded
+    pages must be exact up to f32 accumulation order."""
+    cache, q, tables, positions = build_case()
+    cache = PagedKVCache(
+        k_pages=cache.k_pages.astype(jnp.float8_e4m3fn),
+        v_pages=cache.v_pages.astype(jnp.float8_e4m3fn),
+        page_size=PAGE,
+    )
+    got = np.asarray(
+        paged_attention_decode(
+            q, cache.k_pages[None], cache.v_pages[None], tables, positions,
+            jnp.asarray(0), PAGE, interpret=True,
+        )
+    )
+    expected = xla_reference(cache, q, tables, positions)
+    np.testing.assert_allclose(got, expected, atol=5e-2, rtol=5e-2)
+
+
+def test_kernel_sharded_tp2_matches_reference():
+    """The kernel under shard_map over a tp=2 mesh: each shard attends over
+    its own kv head (head-parallel plan, no cross-chip traffic) and the
+    stitched output matches the unsharded XLA reference."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    cache, q, tables, positions = build_case()
+    expected = xla_reference(cache, q, tables, positions)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("tp",))
+
+    def inner(q, k_pages, v_pages, tables, positions):
+        return paged_attention_decode(
+            q, k_pages, v_pages, tables, positions,
+            jnp.asarray(0), PAGE, interpret=True,
+        )
+
+    fn = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(
+            P(None, "tp", None),  # q heads are kv-major: per-kv split
+            P(None, None, None, "tp", None),
+            P(None, None, None, "tp", None),
+            P(),
+            P(),
+        ),
+        out_specs=P(None, "tp", None),
+        check_vma=False,
+    )
+    got = np.asarray(
+        fn(q, cache.k_pages[None], cache.v_pages[None], tables, positions)
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
+
+
 def test_kernel_bf16_pages():
     cache, q, tables, positions = build_case()
     cache = PagedKVCache(

@@ -166,28 +166,33 @@ def main() -> None:
     comps = {}
 
     def comp(name, make_step, x0, extras=(), per_layer=True):
+        # NB: weights always travel via extras (jit ARGUMENTS) — closures
+        # ship them as constants in the remote-compile request (HTTP 413)
         t_big = loop_time(make_step, x0, 200, extras)
         t_small = loop_time(make_step, x0, 20, extras)
         ms = (t_big - t_small) / 180 * 1e3
         comps[name] = (ms, per_layer)
 
-    def qkv_step(x, layer=layer):
-        q, k, v = qkv_project(spec, layer, x, pos2d)
+    def qkv_step(x, wqkv, bqkv):
+        q, k, v = qkv_project(
+            spec, {"wqkv": wqkv, "bqkv": bqkv}, x, pos2d
+        )
         return x + q[..., 0, :1] * 0.0
 
-    comp("qkv proj (+rope)", qkv_step, x0)
+    comp("qkv proj (+rope)", qkv_step, x0,
+         extras=(layer["wqkv"], layer["bqkv"]))
 
-    def o_step(x, layer=layer):
+    def o_step(x, wo):
         return x * 0.999 + linear(
-            x.reshape(batch, 1, spec.q_dim), layer["wo"]
+            x.reshape(batch, 1, spec.q_dim), wo
         ) * 0.0
 
-    comp("o proj", o_step, x0)
+    comp("o proj", o_step, x0, extras=(layer["wo"],))
 
-    def mlp_step(x, layer=layer):
-        return x * 0.999 + mlp(layer["mlp"], x) * 0.0
+    def mlp_step(x, mlp_params):
+        return x * 0.999 + mlp(mlp_params, x) * 0.0
 
-    comp("mlp (gate_up+down)", mlp_step, x0)
+    comp("mlp (gate_up+down)", mlp_step, x0, extras=(layer["mlp"],))
 
     if use_kernel:
         from caesar_tpu.ops.paged_attention import paged_attention_decode
@@ -225,11 +230,11 @@ def main() -> None:
 
     head_w = params.get("unembed", params["embed"].T)
 
-    def head_step(x):
-        h = linear(x[:, 0], head_w)
+    def head_step(x, hw):
+        h = linear(x[:, 0], hw)
         return x + h[:, :1, None].astype(x.dtype) * 0.0
 
-    comp("lm head", head_step, x0, per_layer=False)
+    comp("lm head", head_step, x0, extras=(head_w,), per_layer=False)
 
     logits0 = jax.random.normal(key, (batch, spec.vocab), jnp.float32)
 
