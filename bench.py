@@ -32,9 +32,11 @@ import time
 
 
 def main() -> None:
+    # defaults = the fastest shipped config (w8a8 native-int8 MXU matmuls +
+    # FP8 KV pages, BASELINE config-4 storage mode) — what production serves
     model = os.environ.get("CAESAR_BENCH_MODEL", "qwen2.5-coder-7b")
-    quant = os.environ.get("CAESAR_BENCH_QUANT", "int8")
-    kv_quant = os.environ.get("CAESAR_BENCH_KV", "bf16")
+    quant = os.environ.get("CAESAR_BENCH_QUANT", "w8a8")
+    kv_quant = os.environ.get("CAESAR_BENCH_KV", "fp8")
     batch = int(os.environ.get("CAESAR_BENCH_BATCH", "32"))
     max_tokens = int(os.environ.get("CAESAR_BENCH_TOKENS", "128"))
     prompt_len = int(os.environ.get("CAESAR_BENCH_PROMPT", "256"))
@@ -110,7 +112,15 @@ def main() -> None:
         + 3 * spec.dim * spec.hidden
     )
     linear_bytes = per_layer_lin * spec.n_layers * bytes_per_w
-    head_bytes = spec.dim * spec.vocab * 2  # bf16 lm head (or tied embed.T)
+    # lm head bytes from its ACTUAL representation (quantized when the vocab
+    # tiles; bf16 otherwise / tied embeddings)
+    from caesar_tpu.engine.quant import QuantizedLinear
+
+    head = engine.params.get("unembed", engine.params["embed"])
+    if isinstance(head, QuantizedLinear):
+        head_bytes = head.qweight.size + head.scales.size * 2
+    else:
+        head_bytes = head.size * head.dtype.itemsize
     kv_el = {"bf16": 2, "fp8": 1, "f32": 4}[kv_quant]
     mean_ctx = prompt_len + max_tokens / 2
     kv_bytes = (

@@ -92,6 +92,11 @@ class EngineConfig:
     allow_random_init: bool = True
     #: seed for random-init weights and sampling
     seed: int = 0
+    #: decode micro-batches under tensor parallelism (>1 pipelines batch
+    #: slices through the layer stack so row-parallel all-reduces of one
+    #: slice overlap the next slice's matmuls; numerics are unchanged).
+    #: Ignored when tp == 1 or the batch does not divide evenly.
+    decode_microbatches: int = 2
 
 
 @dataclasses.dataclass

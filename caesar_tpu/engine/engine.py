@@ -214,6 +214,7 @@ class Engine:
             self._sharded_decode = step_mod.make_sharded_decode_steps(
                 self.spec, mesh, self.params, self.cache,
                 self.decode_steps, self._use_paged_kernel,
+                microbatches=econf.decode_microbatches,
             )
             self._sharded_prefill = step_mod.make_sharded_prefill_chunk(
                 self.spec, mesh, self.params, self.cache,

@@ -204,6 +204,7 @@ def _decode_one(
     use_kernel: bool = False,
     tp_axis: Optional[str] = None,
     interpret: bool = False,
+    microbatches: int = 1,
 ) -> Tuple[PagedKVCache, DecodeState, jax.Array]:
     """One decode step for the whole batch; returns sampled tokens [B].
 
@@ -212,12 +213,22 @@ def _decode_one(
     column-parallel matmuls are shard-local, and the two row-parallel
     projections (wo, mlp down) psum explicitly — the Megatron pairing the
     GSPMD path expressed implicitly, now manual so the Pallas kernels can
-    run per-shard."""
+    run per-shard.
+
+    microbatches > 1 (tensor-parallel only): the batch is split into
+    independent slices walked layer-major/slice-minor, so slice i's
+    row-parallel psums have no data dependency on slice i+1's matmuls —
+    XLA's async collectives + latency-hiding scheduler overlap the
+    all-reduce of one slice with the compute of the next (SURVEY §2.3's
+    "collectives overlapped with decode compute").  Numerics are identical
+    to microbatches=1: each slice computes exactly the rows it would have
+    computed inside the full-batch matmuls, and the slices reassemble in
+    slot order before sampling.
+    """
     b = state.tokens.shape[0]
     page_size = cache.page_size
 
     x = params["embed"][state.tokens][:, None]  # [B, 1, D]
-    pos2d = state.positions[:, None]  # [B, 1]
 
     # inactive slots park their writes on the reserved scratch page 0
     write_pages_all = jnp.take_along_axis(
@@ -226,40 +237,58 @@ def _decode_one(
     write_pages = jnp.where(state.active, write_pages_all, 0)
     write_slots = state.positions % page_size
 
+    nm = microbatches if microbatches > 1 and b % microbatches == 0 else 1
+    mb = b // nm
+
+    def split(a):
+        return [a[i * mb : (i + 1) * mb] for i in range(nm)]
+
+    xs = split(x)
+    positions_s = split(state.positions)
+    tables_s = split(state.page_tables)
+    write_pages_s = split(write_pages)
+    write_slots_s = split(write_slots)
+
     for layer_idx, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["ln_attn"], spec.rms_eps)
-        q, k, v = qkv_project(spec, layer, h, pos2d)
-        cache = kvcache.write_token(
-            cache, layer_idx, write_pages, write_slots, k[:, 0], v[:, 0]
-        )
-        if use_kernel:
-            from caesar_tpu.ops.paged_attention import paged_attention_decode
-
-            attn = paged_attention_decode(
-                q[:, 0],
-                cache.k_pages,  # full pool: a per-layer slice would copy
-                cache.v_pages,
-                state.page_tables,
-                state.positions,
-                jnp.asarray(layer_idx, dtype=jnp.int32),
-                cache.page_size,
-                interpret=interpret,
-            )[:, None]
-        else:
-            attn = _paged_attention(
-                spec, cache, layer_idx, q, state.page_tables, pos2d
+        for i in range(nm):
+            pos2d = positions_s[i][:, None]  # [mb, 1]
+            h = rms_norm(xs[i], layer["ln_attn"], spec.rms_eps)
+            q, k, v = qkv_project(spec, layer, h, pos2d)
+            cache = kvcache.write_token(
+                cache, layer_idx, write_pages_s[i], write_slots_s[i],
+                k[:, 0], v[:, 0],
             )
-        delta = linear(attn.reshape(b, 1, spec.q_dim), layer["wo"],
-                       tp_axis=tp_axis)
-        if tp_axis is not None:
-            delta = jax.lax.psum(delta, tp_axis)  # row-parallel wo
-        x = x + delta
-        h = rms_norm(x, layer["ln_mlp"], spec.rms_eps)
-        delta = mlp(layer["mlp"], h, tp_axis=tp_axis)
-        if tp_axis is not None:
-            delta = jax.lax.psum(delta, tp_axis)  # row-parallel down
-        x = x + delta
+            if use_kernel:
+                from caesar_tpu.ops.paged_attention import (
+                    paged_attention_decode,
+                )
 
+                attn = paged_attention_decode(
+                    q[:, 0],
+                    cache.k_pages,  # full pool: a layer slice would copy
+                    cache.v_pages,
+                    tables_s[i],
+                    positions_s[i],
+                    jnp.asarray(layer_idx, dtype=jnp.int32),
+                    cache.page_size,
+                    interpret=interpret,
+                )[:, None]
+            else:
+                attn = _paged_attention(
+                    spec, cache, layer_idx, q, tables_s[i], pos2d
+                )
+            delta = linear(attn.reshape(mb, 1, spec.q_dim), layer["wo"],
+                           tp_axis=tp_axis)
+            if tp_axis is not None:
+                delta = jax.lax.psum(delta, tp_axis)  # row-parallel wo
+            xi = xs[i] + delta
+            h = rms_norm(xi, layer["ln_mlp"], spec.rms_eps)
+            delta = mlp(layer["mlp"], h, tp_axis=tp_axis)
+            if tp_axis is not None:
+                delta = jax.lax.psum(delta, tp_axis)  # row-parallel down
+            xs[i] = xi + delta
+
+    x = xs[0] if nm == 1 else jnp.concatenate(xs, axis=0)
     x = rms_norm(x, params["ln_out"], spec.rms_eps)
     logits = _lm_head(spec, params, x[:, 0], tp_axis)  # [B, vocab]
 
@@ -387,6 +416,7 @@ def make_sharded_decode_steps(
     cache: PagedKVCache,
     n_steps: int,
     use_kernel: bool,
+    microbatches: int = 2,
 ):
     """Build the tensor-parallel decode dispatch: the full n_steps scan runs
     inside ONE shard_map region over the "tp" axis.
@@ -421,6 +451,7 @@ def make_sharded_decode_steps(
             c, s, emitted = _decode_one(
                 local_spec, params, c, s, eos_id, use_kernel,
                 tp_axis="tp", interpret=interpret,
+                microbatches=microbatches,
             )
             return (c, s), emitted
 

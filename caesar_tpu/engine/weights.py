@@ -95,6 +95,99 @@ def init_params(
     return params
 
 
+def init_params_device(
+    spec: ModelSpec,
+    seed: int = 0,
+    quant_bits: int = 8,
+    quant_group: int = 128,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Random quantized params generated AND quantized on device.
+
+    The host path (numpy init + per-leaf quantize_weight) is ~20 minutes of
+    single-threaded CPU at 7B; the same work is seconds of on-device RNG +
+    VPU math.  Values are random either way — only shapes/dtypes/layout must
+    match the checkpoint path — so this is the loader for preset-model
+    benchmarks (BENCH r1 recorded weights_load_s=1338 on the cold host
+    path).  Peak transient memory is one f32 leaf (~2 GB at 7B); the
+    resident result is the int8/int4 tree, same as the checkpoint loader's.
+    """
+    qmax = 127.0 if quant_bits == 8 else 7.0
+    key = jax.random.PRNGKey(seed)
+    counter = iter(range(10_000))
+
+    def subkey():
+        return jax.random.fold_in(key, next(counter))
+
+    def ql(d_in: int, d_out: int):
+        from caesar_tpu.engine.quant import QuantizedLinear
+
+        group = quant_group
+        while d_in % group != 0 and group > 1:
+            group //= 2
+        if d_in % group != 0:
+            group = d_in
+        w = jax.random.normal(subkey(), (d_in, d_out), jnp.float32)
+        w = w * (1.0 / np.sqrt(d_in))
+        grouped = w.reshape(d_in // group, group, d_out)
+        absmax = jnp.max(jnp.abs(grouped), axis=1)
+        scales = jnp.maximum(absmax / qmax, 1e-8)
+        q = jnp.clip(
+            jnp.round(grouped / scales[:, None, :]), -qmax, qmax
+        ).astype(jnp.int8).reshape(d_in, d_out)
+        if quant_bits == 4:
+            low = q[0::2].astype(jnp.uint8) & 0x0F
+            high = (q[1::2].astype(jnp.uint8) & 0x0F) << 4
+            q = (low | high).astype(jnp.int8)
+        return QuantizedLinear(
+            qweight=q, scales=scales.astype(jnp.bfloat16),
+            bits=quant_bits, group=group,
+            out_features=d_out, in_features=d_in,
+        )
+
+    def vec(d: int) -> jax.Array:
+        return jnp.ones((d,), dtype=dtype)
+
+    layers = []
+    for _ in range(spec.n_layers):
+        layer = {
+            "ln_attn": vec(spec.dim),
+            "ln_mlp": vec(spec.dim),
+            "wq": ql(spec.dim, spec.q_dim),
+            "wk": ql(spec.dim, spec.kv_dim),
+            "wv": ql(spec.dim, spec.kv_dim),
+            "wo": ql(spec.q_dim, spec.dim),
+            "mlp": {
+                "gate": ql(spec.dim, spec.hidden),
+                "up": ql(spec.dim, spec.hidden),
+                "down": ql(spec.hidden, spec.dim),
+            },
+        }
+        if spec.attn_bias:
+            layer["bq"] = jnp.zeros((spec.q_dim,), dtype=dtype)
+            layer["bk"] = jnp.zeros((spec.kv_dim,), dtype=dtype)
+            layer["bv"] = jnp.zeros((spec.kv_dim,), dtype=dtype)
+        layers.append(layer)
+
+    params = {
+        "embed": (
+            jax.random.normal(subkey(), (spec.vocab, spec.dim), jnp.float32)
+            * 0.02
+        ).astype(dtype),
+        "layers": layers,
+        "ln_out": vec(spec.dim),
+    }
+    if not spec.tie_embeddings:
+        if spec.vocab % 256 == 0:  # kernel-tileable: quantized lm head
+            params["unembed"] = ql(spec.dim, spec.vocab)
+        else:
+            params["unembed"] = (
+                jax.random.normal(subkey(), (spec.dim, spec.vocab), jnp.float32)
+                * (1.0 / np.sqrt(spec.dim))
+            ).astype(dtype)
+    return params
+
+
 # ----------------------------------------------------------------------
 # HF checkpoint loading
 # ----------------------------------------------------------------------
@@ -396,7 +489,18 @@ def load_model(
         raise FileNotFoundError(
             f"No checkpoint for {model!r} and allow_random_init=False"
         )
-    # w8a8 shares int8's weight artifact on disk
+    if quant_bits is not None:
+        # quantized preset: generate + quantize ON DEVICE — seconds, no disk
+        # cache needed (the npz cache + host init path cost BENCH r1 a
+        # 22-minute weights_load_s)
+        try:
+            return spec, tag(
+                init_params_device(spec, seed=seed, quant_bits=quant_bits,
+                                   dtype=dtype)
+            )
+        except Exception:
+            pass  # fall through to the host path + cache
+    # bf16 presets (and device-init failures): host init via the npz cache
     cache_path = _params_cache_path(
         model, "int8" if quant == "w8a8" else quant, seed
     )

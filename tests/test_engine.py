@@ -270,6 +270,27 @@ def test_engine_tp2_paged_kernel_matches_xla_path(monkeypatch):
         sharded.close()
 
 
+def test_engine_tp2_microbatch_overlap_parity(tiny_params):
+    """decode_microbatches>1 (collective-overlap pipelining of batch slices
+    through the layer stack) must be token-identical to microbatches=1."""
+    from caesar_tpu.parallel.plan import make_mesh
+
+    outs = []
+    for mb in (1, 2):
+        eng = Engine(
+            tiny_econf(tp=2, decode_microbatches=mb),
+            spec=TINY, params=tiny_params, tokenizer=ByteTokenizer(),
+            decode_steps=4, mesh=make_mesh(2),
+        )
+        try:
+            outs.append(
+                eng.generate_sync(greedy_request("microbatch overlap", 8)).text
+            )
+        finally:
+            eng.close()
+    assert outs[0] == outs[1]
+
+
 def test_engine_w8a8_tp2_matches_single_device(tiny_params):
     """w8a8 numerics under TP: the activation-quant mode must survive
     shard_params (round-1 regression dropped `act`) and the sharded int8

@@ -223,7 +223,8 @@ def main() -> None:
 
         c = PagedKVCache(k_pages=kp, v_pages=vp, page_size=page_size)
         c = kvcache.write_token(c, 0, wp, ws, kv, kv)
-        return kv + c.k_pages[0, 0, 0] * 0.0
+        # explicit upcast: fp8 pools have no implicit promotion path
+        return kv + c.k_pages[0, 0, 0].astype(kv.dtype) * 0.0
 
     comp("kv write (scatter)", write_step, kv1,
          extras=(cache.k_pages, cache.v_pages))
