@@ -32,11 +32,13 @@ import time
 
 
 def main() -> None:
-    # defaults = the fastest shipped config (w8a8 native-int8 MXU matmuls +
-    # FP8 KV pages, BASELINE config-4 storage mode) — what production serves
+    # defaults = the fastest shipped config at the bench context: w8a8
+    # native-int8 MXU matmuls + bf16 KV.  FP8 KV (BASELINE config 4) is
+    # within ~6% here and wins at long context (step probe, docs/ENGINE.md);
+    # select it with CAESAR_BENCH_KV=fp8.
     model = os.environ.get("CAESAR_BENCH_MODEL", "qwen2.5-coder-7b")
     quant = os.environ.get("CAESAR_BENCH_QUANT", "w8a8")
-    kv_quant = os.environ.get("CAESAR_BENCH_KV", "fp8")
+    kv_quant = os.environ.get("CAESAR_BENCH_KV", "bf16")
     batch = int(os.environ.get("CAESAR_BENCH_BATCH", "32"))
     max_tokens = int(os.environ.get("CAESAR_BENCH_TOKENS", "128"))
     prompt_len = int(os.environ.get("CAESAR_BENCH_PROMPT", "256"))

@@ -47,9 +47,14 @@ _BN_CANDIDATES = (1024, 768, 512, 256)
 _BK_CANDIDATES = (512, 256, 128)
 M_ALIGN = 8
 #: VMEM budget for one program's working set (double-buffered weight tile +
-#: activations + f32 out tile); v5e has 16 MB more is left for Mosaic's own
-#: pipelining of the other operands
-_VMEM_BUDGET = 10 * 1024 * 1024
+#: activations + f32 out tile); v5e has 16 MB — the rest is left for
+#: Mosaic's own pipelining of the other operands.  Env-overridable for
+#: tuning sweeps (tools/kernel_probe.py).
+import os as _os
+
+_VMEM_BUDGET = int(
+    float(_os.environ.get("CAESAR_QMM_VMEM_MB", "10")) * 1024 * 1024
+)
 
 
 def _pick_tile(dim: int, candidates: Tuple[int, ...], multiple_of: int = 1

@@ -85,6 +85,7 @@ def probe_quant():
         shapes += [
             ("o    3584x3584", 3584, 3584),
             ("gate 3584x18944", 3584, 18944),
+            ("gate_up 3584x37888", 3584, 37888),  # the fused serving shape
         ]
     for name, k, n in shapes:
         w = rng.standard_normal((k, n), np.float32) * 0.02
@@ -130,13 +131,18 @@ def probe_attn():
     MAXP = 2048 // PAGE
     n_pages = 4096
     ctx = int(os.environ.get("PROBE_CTX", "384"))
+    n_layers = int(os.environ.get("PROBE_LAYERS", "1"))  # pool layer count
 
-    kv_dtype = jnp.bfloat16
+    kv_dtype = {
+        "bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn, "f32": jnp.float32,
+    }[os.environ.get("PROBE_KV", "bf16")]
     k_pages = jnp.asarray(
-        rng.standard_normal((1, n_pages, PAGE, NKV, HD), np.float32), kv_dtype
+        rng.standard_normal((n_layers, n_pages, PAGE, NKV, HD), np.float32),
+        kv_dtype,
     )
     v_pages = jnp.asarray(
-        rng.standard_normal((1, n_pages, PAGE, NKV, HD), np.float32), kv_dtype
+        rng.standard_normal((n_layers, n_pages, PAGE, NKV, HD), np.float32),
+        kv_dtype,
     )
     tables = np.zeros((B, MAXP), np.int32)
     nextp = 1
