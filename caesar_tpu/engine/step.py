@@ -248,6 +248,7 @@ def _decode_one(
     tables_s = split(state.page_tables)
     write_pages_s = split(write_pages)
     write_slots_s = split(write_slots)
+    skip_s = split(state.done | ~state.active)
 
     for layer_idx, layer in enumerate(params["layers"]):
         for i in range(nm):
@@ -271,6 +272,10 @@ def _decode_one(
                     positions_s[i],
                     jnp.asarray(layer_idx, dtype=jnp.int32),
                     cache.page_size,
+                    # done/inactive rows emit EOS regardless (see `emit`
+                    # below): clamp their attention to one scratch token
+                    # instead of streaming their full stale context
+                    skip=skip_s[i],
                     interpret=interpret,
                 )[:, None]
             else:

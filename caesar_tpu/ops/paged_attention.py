@@ -9,19 +9,29 @@ short.  This kernel instead:
 * keeps the page pools in HBM (no blocked in_spec) and DMAs exactly the
   pages a sequence uses — the loop bound is the per-sequence page count,
   a traced value, not the static max;
-* double-buffers page DMA against compute (guide pattern), so the HBM
-  stream never stalls on the VPU/MXU work;
+* pipelines page DMA across the WHOLE batch, not just within one sequence:
+  TPU grid steps run sequentially on the core and scratch persists across
+  them, so a global prefetch cursor (kept in SMEM) keeps DEPTH superblocks
+  in flight even across sequence boundaries.  The round-1 kernel double-
+  buffered only within a sequence; at decode contexts (1-3 superblocks per
+  sequence) the pipeline drained at every grid step and the op was
+  latency-bound at ~4.5x the streamed-bytes floor;
 * runs flash-style online softmax (running max / normalizer carried through
-  the page loop in f32), one grid step per sequence;
-* upcasts KV tiles to bf16 in VMEM right before use — FP8 page storage
-  halves the stream for free.
+  the superblock loop in f32), one grid step per sequence;
+* upcasts KV tiles to f32 in VMEM right before use — FP8 page storage
+  halves the stream for free (integer-bit-op decode, see _upcast_kv);
+* takes a `skip` mask (done / inactive slots): skipped rows clamp to a
+  single token of the reserved scratch page, so retired-mid-chunk and empty
+  slots cost one superblock instead of their stale full context.
 
-Layout: one grid step per batch row; q [1, n_heads, hd] in VMEM; K/V page
-tiles [page_size, n_kv, hd].  GQA runs as [n_kv, group, hd] x
-[page, n_kv, hd] dot_generals per page.
+Layout: one grid step per batch row; q [1, n_kv, group, hd] in VMEM; K/V
+page tiles [page_size, n_kv, hd].  GQA runs as [n_kv, group, hd] x
+[page, n_kv, hd] dot_generals per superblock.
 
-Page tables and positions arrive via scalar prefetch (SMEM) so the kernel
-can compute its own DMA source indices.
+Page tables, positions and the skip mask arrive via scalar prefetch (SMEM)
+so the kernel can compute every DMA source index itself — including the
+NEXT grid step's (the cross-sequence prefetch reads tables_ref[b+1] while
+sequence b computes).
 """
 
 from __future__ import annotations
@@ -39,7 +49,8 @@ NEG_INF = -1e30
 #: pages DMA'd + processed per flash iteration (see _kernel docstring);
 #: env-overridable for tuning sweeps
 SUPER = int(os.environ.get("CAESAR_ATTN_SUPER", "4"))
-DEPTH = 2  # superblock double buffering (DEPTH*SUPER*2 page DMAs in flight)
+#: superblock buffers in flight (cross-sequence pipeline depth)
+DEPTH = int(os.environ.get("CAESAR_ATTN_DEPTH", "4"))
 
 
 def _upcast_kv(tile: jax.Array) -> jax.Array:
@@ -69,6 +80,7 @@ def _kernel(
     tables_ref,  # [B, max_pages] int32 (SMEM)
     positions_ref,  # [B] int32 — position of the query token
     layer_ref,  # [1] int32 — which layer of the pool to read
+    skip_ref,  # [B] int32 — nonzero rows clamp to a single scratch token
     # inputs
     q_ref,  # [1, n_kv, group, hd] VMEM block (this sequence)
     k_hbm,  # [n_layers, n_pages, page, n_kv, hd] in HBM (FULL pool: slicing
@@ -81,92 +93,129 @@ def _kernel(
     k_buf,  # [DEPTH, SUPER*page, n_kv, hd] VMEM
     v_buf,
     sem,  # DMA sems [DEPTH, SUPER, 2]
+    cur,  # [4] int32 SMEM, persists across grid steps:
+    #       cur[0] = global superblock index of this sequence's first block
+    #       cur[1] = prefetch cursor: next sequence to fetch for
+    #       cur[2] = prefetch cursor: next superblock within that sequence
     *,
     page_size: int,
 ):
-    """Flash decode over SUPER-page superblocks.
+    """Flash decode over SUPER-page superblocks, pipelined across sequences.
 
     Per-page iteration was instruction-bound: [group, hd] x [hd, page] dots
     and the mask/exp bookkeeping are tiny, so fixed per-op cost dominated.
     A superblock DMAs SUPER pages (individually — page ids are scattered)
     into one contiguous VMEM tile and runs the flash update once per
-    SUPER*page tokens: 4x fewer vector ops and 4x larger MXU dots for the
-    same HBM traffic.  Tail pages past a sequence's length are neither
-    fetched (predicated DMA) nor scored (position mask).
+    SUPER*page tokens.  Superblocks are consumed in global order
+    (sequence-major); the prefetch cursor stays exactly DEPTH superblocks
+    ahead, so the slot a consumed block frees (g % DEPTH) is the very slot
+    its replacement (g + DEPTH) needs — the DMA stream never drains between
+    sequences.  Tail pages past a sequence's length fetch the reserved
+    scratch page 0 (never uninitialized VMEM — 0 * NaN = NaN would survive
+    the position mask) and are masked out of the scores.
     """
     b = pl.program_id(0)
+    n_seqs = tables_ref.shape[0]
     q = q_ref[0].astype(jnp.float32)  # [n_kv, group, hd]
     n_kv, group, hd = q.shape
-
-    q_pos = positions_ref[b]
-    length = q_pos + 1
-    n_pages = pl.cdiv(length, page_size)
     block = SUPER * page_size
-    n_blocks = pl.cdiv(length, block)  # traced loop bound
-
     layer = layer_ref[0]
 
-    def _page_id(j, p):
-        # Tail slots past the sequence's last page fetch the reserved scratch
-        # page 0 instead: leaving the buffer tail UNWRITTEN would feed
-        # uninitialized VMEM (possibly NaN/Inf) into the P.V dot, and
-        # 0 * NaN = NaN survives the position mask.  Page 0 only ever holds
-        # finite values, and its scores are masked out.
+    def _length(i):
+        # skipped rows attend over exactly one (scratch) token
+        i = jnp.minimum(i, n_seqs - 1)  # clamp: callers probe i == n_seqs
+        return jnp.where(skip_ref[i] != 0, 1, positions_ref[i] + 1)
+
+    def _n_blocks(i):
+        return pl.cdiv(_length(i), block)
+
+    def _page_id(i, j, p):
+        n_pages = pl.cdiv(_length(i), page_size)
         page_idx = j * SUPER + p
-        return jnp.where(page_idx < n_pages, tables_ref[b, page_idx], 0)
+        i = jnp.minimum(i, n_seqs - 1)
+        return jnp.where(page_idx < n_pages, tables_ref[i, page_idx], 0)
 
-    def start_block(slot, j):
-        """Launch DMAs for superblock j into buffer `slot`."""
-        for p in range(SUPER):
-            page_id = _page_id(j, p)
+    def _copies(i, j, slot, p):
+        page_id = _page_id(i, j, p)
+        dst = pl.ds(p * page_size, page_size)
+        return (
             pltpu.make_async_copy(
-                k_hbm.at[layer, page_id],
-                k_buf.at[slot, pl.ds(p * page_size, page_size)],
+                k_hbm.at[layer, page_id], k_buf.at[slot, dst],
                 sem.at[slot, p, 0],
-            ).start()
+            ),
             pltpu.make_async_copy(
-                v_hbm.at[layer, page_id],
-                v_buf.at[slot, pl.ds(p * page_size, page_size)],
+                v_hbm.at[layer, page_id], v_buf.at[slot, dst],
                 sem.at[slot, p, 1],
-            ).start()
+            ),
+        )
 
-    def wait_block(slot, j):
+    def start_block(i, j, slot):
         for p in range(SUPER):
-            page_id = _page_id(j, p)
-            pltpu.make_async_copy(
-                k_hbm.at[layer, page_id],
-                k_buf.at[slot, pl.ds(p * page_size, page_size)],
-                sem.at[slot, p, 0],
-            ).wait()
-            pltpu.make_async_copy(
-                v_hbm.at[layer, page_id],
-                v_buf.at[slot, pl.ds(p * page_size, page_size)],
-                sem.at[slot, p, 1],
-            ).wait()
+            ck, cv = _copies(i, j, slot, p)
+            ck.start()
+            cv.start()
 
-    def warm(j, _):
-        @pl.when(j < n_blocks)
-        def _():
-            start_block(j, j)
-        return 0
+    def wait_block(i, j, slot):
+        for p in range(SUPER):
+            ck, cv = _copies(i, j, slot, p)
+            ck.wait()
+            cv.wait()
 
-    jax.lax.fori_loop(0, DEPTH, warm, 0)
+    def _advance(i, j):
+        """Next (seq, block) after (i, j) in global order."""
+        j = j + 1
+        roll = j >= _n_blocks(i)
+        return jnp.where(roll, i + 1, i), jnp.where(roll, 0, j)
 
+    # --- warm-up: first grid step fills the pipeline ---------------------
+    @pl.when(b == 0)
+    def _():
+        def warm(d, pf):
+            pf_i, pf_j = pf
+
+            @pl.when(pf_i < n_seqs)
+            def _():
+                start_block(pf_i, pf_j, d)
+
+            nxt = _advance(pf_i, pf_j)
+            return (
+                jnp.where(pf_i < n_seqs, nxt[0], pf_i),
+                jnp.where(pf_i < n_seqs, nxt[1], pf_j),
+            )
+
+        pf = jax.lax.fori_loop(
+            0, DEPTH, warm, (jnp.int32(0), jnp.int32(0))
+        )
+        cur[0] = 0
+        cur[1] = pf[0]
+        cur[2] = pf[1]
+
+    g_base = cur[0]
+    q_pos = jnp.where(skip_ref[b] != 0, 0, positions_ref[b])
+    n_blocks = _n_blocks(b)  # traced loop bound
     scale = 1.0 / (hd ** 0.5)
 
     def body(j, carry):
         m_prev, l_prev, acc_prev = carry
-        slot = jax.lax.rem(j, DEPTH)
+        slot = jax.lax.rem(g_base + j, DEPTH)
 
-        wait_block(slot, j)
+        wait_block(b, j, slot)
         k = _upcast_kv(k_buf[slot])  # [block, n_kv, hd] f32
         v = _upcast_kv(v_buf[slot])
 
-        # reads above materialize into registers; the slot is now free to
-        # refill for superblock j + DEPTH
-        @pl.when(j + DEPTH < n_blocks)
+        # reads above materialize into registers; the slot is now free —
+        # refill it with the next unprefetched global block (exactly DEPTH
+        # ahead of this one, hence the same slot)
+        pf_i = cur[1]
+        pf_j = cur[2]
+
+        @pl.when(pf_i < n_seqs)
         def _():
-            start_block(slot, j + DEPTH)
+            start_block(pf_i, pf_j, slot)
+
+        nxt = _advance(pf_i, pf_j)
+        cur[1] = jnp.where(pf_i < n_seqs, nxt[0], pf_i)
+        cur[2] = jnp.where(pf_i < n_seqs, nxt[1], pf_j)
 
         # scores [n_kv, group, block] — per-kv-head matmuls, statically
         # unrolled (Mosaic's tpu.matmul has no batch dims)
@@ -212,6 +261,7 @@ def _kernel(
     acc0 = jnp.zeros((n_kv, group, hd), dtype=jnp.float32)
     _m, l_fin, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
 
+    cur[0] = g_base + n_blocks
     out_ref[0] = (acc / l_fin[..., None]).astype(out_ref.dtype)
 
 
@@ -234,16 +284,25 @@ def paged_attention_decode(
     positions: jax.Array,  # [B] int32 query positions
     layer: jax.Array,  # scalar int32 — pool layer to attend over
     page_size: int,
+    skip: jax.Array | None = None,  # [B] bool/int — done/inactive slots
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns attention output [B, n_heads, hd] (same dtype as q)."""
+    """Returns attention output [B, n_heads, hd] (same dtype as q).
+
+    Rows with skip set return attention over the single scratch-page token
+    (their output is discarded by the caller — done slots emit EOS
+    regardless, engine/step.py `emit`)."""
     b, n_heads, hd = q.shape
     n_kv = k_pages.shape[3]
     group = n_heads // n_kv
     q4 = q.reshape(b, n_kv, group, hd)
+    if skip is None:
+        skip_i = jnp.zeros((b,), jnp.int32)
+    else:
+        skip_i = skip.astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b,),
         in_specs=[
             pl.BlockSpec(
@@ -263,6 +322,7 @@ def paged_attention_decode(
             pltpu.VMEM((DEPTH, SUPER * page_size, n_kv, hd), k_pages.dtype),
             pltpu.VMEM((DEPTH, SUPER * page_size, n_kv, hd), v_pages.dtype),
             pltpu.SemaphoreType.DMA((DEPTH, SUPER, 2)),
+            pltpu.SMEM((4,), jnp.int32),
         ],
     )
     kernel = functools.partial(_kernel, page_size=page_size)
@@ -270,11 +330,15 @@ def paged_attention_decode(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_kv, group, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
     )(
         page_tables,
         positions,
         jnp.asarray(layer, dtype=jnp.int32).reshape(1),
+        skip_i,
         q4,
         k_pages,
         v_pages,

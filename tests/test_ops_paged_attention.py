@@ -151,6 +151,40 @@ def test_kernel_sharded_tp2_matches_reference():
     np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
 
 
+def test_kernel_skip_rows():
+    """Skipped rows (done/inactive slots) clamp to a single token: the
+    output equals attention over position 0 only, and non-skipped rows are
+    bit-identical to a run without any skip mask."""
+    cache, q, tables, positions = build_case()
+    skip = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    got = np.asarray(
+        paged_attention_decode(
+            q, cache.k_pages[None], cache.v_pages[None], tables, positions,
+            jnp.asarray(0), PAGE, skip=skip, interpret=True,
+        )
+    )
+    full = np.asarray(
+        paged_attention_decode(
+            q, cache.k_pages[None], cache.v_pages[None], tables, positions,
+            jnp.asarray(0), PAGE, interpret=True,
+        )
+    )
+    # unskipped rows: identical to the unmasked run
+    np.testing.assert_array_equal(got[0], full[0])
+    np.testing.assert_array_equal(got[2], full[2])
+    # skipped rows: attention over exactly the first token (softmax over a
+    # single score is 1.0, so the output is that token's V row, broadcast
+    # over the query heads)
+    expected = np.asarray(
+        paged_attention_decode(
+            q, cache.k_pages[None], cache.v_pages[None], tables,
+            jnp.zeros_like(positions), jnp.asarray(0), PAGE, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got[1], expected[1], atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(got[3], expected[3], atol=2e-5, rtol=2e-5)
+
+
 def test_kernel_bf16_pages():
     cache, q, tables, positions = build_case()
     cache = PagedKVCache(
