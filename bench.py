@@ -42,6 +42,7 @@ def main() -> None:
     batch = int(os.environ.get("CAESAR_BENCH_BATCH", "32"))
     max_tokens = int(os.environ.get("CAESAR_BENCH_TOKENS", "128"))
     prompt_len = int(os.environ.get("CAESAR_BENCH_PROMPT", "256"))
+    page_size = int(os.environ.get("CAESAR_BENCH_PAGE", "64"))
 
     import jax
 
@@ -54,7 +55,7 @@ def main() -> None:
         model=model,
         quant=quant,
         kv_quant=kv_quant,
-        page_size=64,
+        page_size=page_size,
         max_batch=batch,
         max_seq_len=2048,
         prefill_chunk=512,
@@ -62,7 +63,10 @@ def main() -> None:
         seed=0,
     )
     t0 = time.monotonic()
-    engine = Engine(econf)
+    engine = Engine(
+        econf,
+        decode_steps=int(os.environ.get("CAESAR_BENCH_DECODE_STEPS", "32")),
+    )
     load_s = time.monotonic() - t0
     spec = engine.spec
 

@@ -27,9 +27,13 @@ SMALL = 20
 
 
 def _fetch(x):
+    import jax
     import jax.numpy as jnp
 
-    return float(jnp.sum(x.astype(jnp.float32)))
+    # tuple carries (e.g. a KV pool threaded through the loop so scatters
+    # stay in-place): sync on the first leaf only
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.sum(leaf[..., :1].astype(jnp.float32)))
 
 
 def loop_time(make_step, x0, iters, extras=(), _cache={}):
@@ -127,9 +131,10 @@ def probe_attn():
     from caesar_tpu.ops.paged_attention import paged_attention_decode
 
     rng = np.random.default_rng(0)
-    B, NKV, G, HD, PAGE = 32, 4, 7, 128, 64
+    B, NKV, G, HD = 32, 4, 7, 128
+    PAGE = int(os.environ.get("PROBE_PAGE", "64"))
     MAXP = 2048 // PAGE
-    n_pages = 4096
+    n_pages = 4096 * 64 // PAGE  # constant pool BYTES across page sizes
     ctx = int(os.environ.get("PROBE_CTX", "384"))
     n_layers = int(os.environ.get("PROBE_LAYERS", "1"))  # pool layer count
 

@@ -38,12 +38,15 @@ def build_fake_params(spec, quant: str, key):
 
     keys = iter(jax.random.split(key, 8 * spec.n_layers + 8))
 
+    group_env = os.environ.get("PROBE_GROUP", "128")
+
     def ql(d_in, d_out):
         rows = d_in // 2 if bits == 4 else d_in
+        group = d_in if group_env == "full" else min(int(group_env), d_in)
         qw = jax.random.randint(next(keys), (rows, d_out), -127, 127, jnp.int8)
-        scales = jnp.full((d_in // 128, d_out), 0.01, jnp.bfloat16)
+        scales = jnp.full((d_in // group, d_out), 0.01, jnp.bfloat16)
         return QuantizedLinear(
-            qweight=qw, scales=scales, bits=bits, group=128,
+            qweight=qw, scales=scales, bits=bits, group=group,
             out_features=d_out, in_features=d_in, act=act,
         )
 
@@ -218,16 +221,21 @@ def main() -> None:
     wp = jnp.asarray(tables[:, used - 1])
     ws = jnp.full((batch,), 3, jnp.int32)
 
-    def write_step(kv, kp, vp):
+    def write_step(carry):
+        # the pool travels in the LOOP CARRY so XLA updates it in place —
+        # passing it as a loop-invariant extra would copy the full pool
+        # every iteration (the round-2 probe measured that copy as a bogus
+        # 3.2 ms/layer "scatter" cost)
         from caesar_tpu.engine.kvcache import PagedKVCache
 
+        kp, vp, kv = carry
         c = PagedKVCache(k_pages=kp, v_pages=vp, page_size=page_size)
         c = kvcache.write_token(c, 0, wp, ws, kv, kv)
-        # explicit upcast: fp8 pools have no implicit promotion path
-        return kv + c.k_pages[0, 0, 0].astype(kv.dtype) * 0.0
+        return (c.k_pages, c.v_pages,
+                kv + c.k_pages[0, 0, 0].astype(kv.dtype) * 0.0)
 
-    comp("kv write (scatter)", write_step, kv1,
-         extras=(cache.k_pages, cache.v_pages))
+    comp("kv write (scatter)", write_step,
+         (cache.k_pages, cache.v_pages, kv1))
 
     head_w = params.get("unembed", params["embed"].T)
 
