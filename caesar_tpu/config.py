@@ -53,6 +53,10 @@ class EngineConfig:
     #: weight quantization: bf16 | int8 | w8a8 (int8 weights + runtime
     #: int8 activations, native int8 MXU) | int4
     quant: str = "bf16"
+    #: weight-scale group size: -1 auto (w8a8 -> per-column, weight-only ->
+    #: 128), 0 per-column, else tokens per scale group
+    #: (engine/weights.py:resolve_quant_group)
+    quant_group: int = -1
     #: KV-cache storage dtype: bf16 | fp8
     kv_quant: str = "bf16"
     #: paged KV cache page size (tokens per page)

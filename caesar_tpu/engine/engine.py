@@ -140,13 +140,17 @@ class Engine:
                 seed=econf.seed,
                 allow_random_init=econf.allow_random_init,
                 quant=econf.quant,
+                quant_group=econf.quant_group,
             )
         elif econf.quant in ("int8", "w8a8", "int4") and not isinstance(
             params["layers"][0]["wq"], QuantizedLinear
         ):
+            from caesar_tpu.engine.weights import resolve_quant_group
+
             params = quantize_params(
                 params,
                 bits=4 if econf.quant == "int4" else 8,
+                group=resolve_quant_group(econf.quant, econf.quant_group),
                 act="int8" if econf.quant == "w8a8" else "none",
             )
         self.spec = spec

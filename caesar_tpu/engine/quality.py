@@ -117,6 +117,13 @@ def quant_quality_report(
             ppl8a8 = perplexity(spec, a8_params, token_ids)
             report["ppl_w8a8"] = ppl8a8
             report["delta_w8a8"] = (ppl8a8 - base) / base
+            # per-column scales are w8a8's serving default
+            # (weights.resolve_quant_group): score the coarser scale
+            # granularity as its own line item
+            pc_params = quantize_params(params, bits=8, group=0, act="int8")
+            ppl_pc = perplexity(spec, pc_params, token_ids)
+            report["ppl_w8a8_percol"] = ppl_pc
+            report["delta_w8a8_percol"] = (ppl_pc - base) / base
     return report
 
 

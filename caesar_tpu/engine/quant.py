@@ -70,11 +70,21 @@ def quantize_weight(
     group: int = DEFAULT_GROUP,
     act: str = "none",
 ) -> QuantizedLinear:
-    """Symmetric per-group quantization of an [in, out] weight."""
+    """Symmetric per-group quantization of an [in, out] weight.
+
+    group=0 selects PER-COLUMN scales (one group spanning the whole
+    reduction dim).  For the w8a8 kernel this collapses the per-group
+    int32->f32 rescale chain to a single dot + rescale per tile (measured
+    ~1 ms/step on the 7B decode, tools/step_probe.py PROBE_GROUP=full);
+    int32 accumulation over the full K is still exact (K * 127^2 < 2^31
+    for every supported shape).
+    """
     w = np.asarray(w, dtype=np.float32)
     if w.ndim != 2:
         raise ValueError(f"expected 2D weight, got {w.shape}")
     d_in, d_out = w.shape
+    if not group:
+        group = d_in
     while d_in % group != 0 and group > 1:
         group //= 2  # shrink to a divisor for small dims (e.g. test models)
     if d_in % group != 0:

@@ -122,7 +122,7 @@ def init_params_device(
     def ql(d_in: int, d_out: int):
         from caesar_tpu.engine.quant import QuantizedLinear
 
-        group = quant_group
+        group = quant_group or d_in  # 0 = per-column (see quantize_weight)
         while d_in % group != 0 and group > 1:
             group //= 2
         if d_in % group != 0:
@@ -313,13 +313,16 @@ def _maybe_quantize_head(spec: ModelSpec, params: dict, quant_bits) -> dict:
 # ----------------------------------------------------------------------
 
 
-def _params_cache_path(model: str, quant: str, seed: int) -> Optional[Path]:
+def _params_cache_path(
+    model: str, quant: str, seed: int, group: int = 128
+) -> Optional[Path]:
     base = os.environ.get(
         "CAESAR_WEIGHTS_CACHE", os.path.expanduser("~/.cache/caesar_weights")
     )
     if not base:
         return None
-    return Path(base) / f"{model}-{quant}-s{seed}.npz"
+    gtag = "" if group == 128 else f"-g{group}"  # 128 keeps old cache names
+    return Path(base) / f"{model}-{quant}{gtag}-s{seed}.npz"
 
 
 def _save_params_cache(path: Path, params: dict) -> None:
@@ -452,21 +455,38 @@ def _set_act_mode(params, act: str):
     return walk(params)
 
 
+def resolve_quant_group(quant: str, quant_group: int = -1) -> int:
+    """The effective scale-group size for a quant mode.
+
+    quant_group -1 = auto: w8a8 uses PER-COLUMN scales (0) — the native
+    int8 MXU kernel then runs one dot + one rescale per tile instead of a
+    per-128-group rescale chain (~1 ms/step on the 7B decode) and int32
+    accumulation stays exact — while the weight-only modes keep group 128
+    (the dequant-in-VMEM kernels pay nothing for finer groups, so keep the
+    quality headroom)."""
+    if quant_group >= 0:
+        return quant_group
+    return 0 if quant == "w8a8" else 128
+
+
 def load_model(
     model: str,
     seed: int = 0,
     allow_random_init: bool = True,
     dtype=jnp.bfloat16,
     quant: str = "bf16",
+    quant_group: int = -1,
 ) -> tuple[ModelSpec, dict]:
     """Resolve `model` (preset name or checkpoint dir) to (spec, params),
     already quantized per `quant` (bf16 | int8 | w8a8 | int4).
 
     "w8a8" stores the same int8 grouped weights as "int8" but additionally
     quantizes activations at runtime so the MXU runs native int8 (see
-    ops/quant_matmul._w8a8_kernel)."""
+    ops/quant_matmul._w8a8_kernel).  quant_group: -1 auto, 0 per-column,
+    else the scale group size (see resolve_quant_group)."""
     quant_bits = {"bf16": None, "int8": 8, "w8a8": 8, "int4": 4}[quant]
     act = "int8" if quant == "w8a8" else "none"
+    group = resolve_quant_group(quant, quant_group)
 
     def tag(params):
         return _set_act_mode(params, act) if act != "none" else params
@@ -476,7 +496,7 @@ def load_model(
         if quant_bits is not None:
             from caesar_tpu.engine.quant import quantize_params
 
-            params = quantize_params(params, bits=quant_bits)
+            params = quantize_params(params, bits=quant_bits, group=group)
             params = _maybe_quantize_head(spec, params, quant_bits)
         return spec, tag(params)
     spec = MODEL_PRESETS.get(model)
@@ -496,20 +516,21 @@ def load_model(
         try:
             return spec, tag(
                 init_params_device(spec, seed=seed, quant_bits=quant_bits,
-                                   dtype=dtype)
+                                   quant_group=group, dtype=dtype)
             )
         except Exception:
             pass  # fall through to the host path + cache
     # bf16 presets (and device-init failures): host init via the npz cache
     cache_path = _params_cache_path(
-        model, "int8" if quant == "w8a8" else quant, seed
+        model, "int8" if quant == "w8a8" else quant, seed, group
     )
     if cache_path is not None and cache_path.exists():
         try:
             return spec, tag(_load_params_cache(cache_path, dtype))
         except Exception:
             pass  # fall through to regeneration
-    params = init_params(spec, seed=seed, dtype=dtype, quant_bits=quant_bits)
+    params = init_params(spec, seed=seed, dtype=dtype, quant_bits=quant_bits,
+                         quant_group=group)
     params = _maybe_quantize_head(spec, params, quant_bits)
     if cache_path is not None:
         try:

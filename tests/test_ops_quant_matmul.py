@@ -93,6 +93,31 @@ def test_w8a8_close_to_weight_only():
     assert np.abs(got - ref).mean() / denom < 0.02
 
 
+def test_w8a8_percolumn_kernel_matches_xla_emulation():
+    """Per-column scales (group=0, the w8a8 serving default —
+    weights.resolve_quant_group): one scale row, one dot per tile."""
+    from caesar_tpu.engine.quant import _w8a8_matmul_xla
+
+    q = make(8, k=512, n=512, group=0)
+    assert q.scales.shape[0] == 1 and q.group == 512
+    q = __import__("dataclasses").replace(q, act="int8")
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((4, 512), dtype=np.float32) * 0.1)
+    got = np.asarray(quant_matmul_pallas(x, q))
+    ref = np.asarray(_w8a8_matmul_xla(x.astype(jnp.bfloat16), q))
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
+
+
+def test_resolve_quant_group_auto():
+    from caesar_tpu.engine.weights import resolve_quant_group
+
+    assert resolve_quant_group("w8a8") == 0  # per-column
+    assert resolve_quant_group("int8") == 128
+    assert resolve_quant_group("int4") == 128
+    assert resolve_quant_group("w8a8", 64) == 64  # explicit override
+    assert resolve_quant_group("int8", 0) == 0
+
+
 def test_w8a8_load_model_tags_tree():
     from caesar_tpu.engine.quant import QuantizedLinear
     from caesar_tpu.engine.weights import load_model
