@@ -43,6 +43,14 @@ def main() -> None:
     max_tokens = int(os.environ.get("CAESAR_BENCH_TOKENS", "128"))
     prompt_len = int(os.environ.get("CAESAR_BENCH_PROMPT", "256"))
     page_size = int(os.environ.get("CAESAR_BENCH_PAGE", "64"))
+    # page-aligned chunk sized to the prompt: a 512 default pads 256-token
+    # prompts to twice the work (prefill is one weight pass per chunk)
+    prefill_chunk = int(
+        os.environ.get(
+            "CAESAR_BENCH_PREFILL_CHUNK",
+            max(page_size, -(-prompt_len // page_size) * page_size),
+        )
+    )
 
     import jax
 
@@ -58,7 +66,7 @@ def main() -> None:
         page_size=page_size,
         max_batch=batch,
         max_seq_len=2048,
-        prefill_chunk=512,
+        prefill_chunk=prefill_chunk,
         prefix_cache=False,  # measure raw decode, not cache hits
         seed=0,
     )

@@ -232,6 +232,7 @@ class Engine:
         self._pending: "queue.Queue[_Sequence]" = queue.Queue()
         self._preempted: List[_Sequence] = []  # readmit before new work
         self._prefilling: Optional[_Sequence] = None
+        self._prefill_unsynced = False  # async prefill queued on device
 
         self._wake = threading.Event()
         self._stats_reset = threading.Event()
@@ -449,6 +450,17 @@ class Engine:
 
         table = np.zeros(self.max_pages_per_seq, dtype=np.int32)
         table[: len(seq.pages)] = seq.pages
+        # static gather window: just the pages covering this chunk's last
+        # position, rounded up to a power of two (one compile per bucket).
+        # The XLA prefill-attention path materializes [T, window*page]
+        # scores per layer — gathering the full max_seq_len table cost
+        # ~0.5 GB of score traffic per layer for a 256-token prompt.
+        need = -(-(start + self.prefill_chunk) // self.page_size)
+        window = 1
+        while window < need:
+            window *= 2
+        window = min(window, self.max_pages_per_seq)
+        table = table[:window]
 
         if self._sharded_prefill is not None:
             self.cache, _logits = self._sharded_prefill(
@@ -474,6 +486,7 @@ class Engine:
         seq.prefilled += real_t
         self.stats.prefill_tokens += real_t
         self.stats.prefill_dispatches += 1
+        self._prefill_unsynced = True
         self.stats.prefill_time_s += time.monotonic() - t0
 
         if seq.prompt_done:
@@ -500,6 +513,14 @@ class Engine:
         active = [s for s in self._slots if s is not None]
         if not active:
             return False
+        if self._prefill_unsynced:
+            # prefill dispatches are async; drain the device queue HERE so
+            # the queued prefill programs' device time lands in
+            # prefill_time_s, not in the first decode chunk's accounting
+            t_sync = time.monotonic()
+            np.asarray(self.cache.k_pages[(0,) * self.cache.k_pages.ndim])
+            self.stats.prefill_time_s += time.monotonic() - t_sync
+            self._prefill_unsynced = False
         t0 = time.monotonic()
 
         tokens = np.zeros(b, dtype=np.int32)

@@ -84,17 +84,25 @@ def _pick_tiles_w8a8(
     whole tuning story.  bk may span the ENTIRE reduction dim (no
     accumulation loop at all) when it fits.
     """
+    def fits(bk, bn):
+        vmem = (
+            2 * bk * bn * w_bytes_per_el  # double-buffered weight tile
+            + 2 * m * bk  # int8 activations (double-buffered)
+            + m * bn * 4  # f32 out tile
+            + 2 * (bk // group) * bn * 2  # scales
+        )
+        return vmem <= _VMEM_BUDGET
+
+    forced_bn = int(_os.environ.get("CAESAR_QMM_BN", "0"))
+    if forced_bn and n % forced_bn == 0:
+        for bk in sorted(_divisors_mult(k, group, 32768), reverse=True):
+            if fits(bk, forced_bn):
+                return (bk, forced_bn)
     best = None
     best_key = None
     for bn in _divisors_mult(n, 128, 8192):
         for bk in _divisors_mult(k, group, 8192):
-            vmem = (
-                2 * bk * bn * w_bytes_per_el  # double-buffered weight tile
-                + 2 * m * bk  # int8 activations (double-buffered)
-                + m * bn * 4  # f32 out tile
-                + 2 * (bk // group) * bn * 2  # scales
-            )
-            if vmem > _VMEM_BUDGET:
+            if not fits(bk, bn):
                 continue
             key = (bk * bn, bk)  # max tile bytes, tie-break deeper K
             if best_key is None or key > best_key:
