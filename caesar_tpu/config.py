@@ -101,6 +101,13 @@ class EngineConfig:
     #: slice overlap the next slice's matmuls; numerics are unchanged).
     #: Ignored when tp == 1 or the batch does not divide evenly.
     decode_microbatches: int = 2
+    #: decode dispatch pipeline depth: chunks kept in flight on the device
+    #: before fetching results.  >1 chains decode chunks from the DEVICE
+    #: state (no host round-trip between chunks) so the token fetch of chunk
+    #: k overlaps chunk k+1's compute — hides dispatch/fetch latency at a
+    #: cost of up to (depth-1) chunks of admission latency for new requests.
+    #: 1 = fetch every chunk (lowest time-to-first-token).
+    decode_pipeline: int = 2
 
 
 @dataclasses.dataclass

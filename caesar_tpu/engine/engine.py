@@ -90,6 +90,39 @@ class _Sequence:
         return self.n_cached + self.prefilled >= len(self.all_tokens())
 
 
+@dataclasses.dataclass
+class _DecodeChain:
+    """A run of decode chunks dispatched without host round-trips between
+    them (econf.decode_pipeline > 1).
+
+    The first chunk is staged from host state as usual; every further chunk
+    is dispatched from the DEVICE DecodeState the previous dispatch returned
+    (tokens, positions, done flags already live there), so the token fetch
+    of chunk k overlaps chunk k+1's execution on device.  Correctness
+    invariants:
+
+    * stop_pos freezes each sequence to EOS on device at its max_tokens, so
+      chained chunks never emit real tokens the host would have cut off.
+    * Page headroom for the whole chain is reserved at staging; positions
+      past a sequence's reservation fall through to the scratch page 0
+      (table entries default to 0), which is never read unmasked.
+    * Pages freed while chunks are in flight (retire/preempt) are
+      QUARANTINED, not returned to the allocator, until the chain drains —
+      an in-flight chunk still writes through the stale device page tables.
+    * The chain stops topping up as soon as new work arrives (pending
+      requests / preempted seqs / an active prefill), bounding added
+      admission latency to the in-flight chunks.
+    """
+
+    staged: List[_Sequence]
+    live: List[_Sequence]  # staged minus retired-so-far
+    device_state: "DecodeState"  # state after the LAST dispatched chunk
+    inflight: List[object]  # device token arrays, oldest first
+    budget: int  # chunks this chain may still dispatch
+    quarantine: List[int]  # page frees deferred to chain end
+    t_account: float  # start of the unaccounted wall-time span
+
+
 class EngineStats:
     def __init__(self) -> None:
         self.prefill_tokens = 0
@@ -233,6 +266,7 @@ class Engine:
         self._preempted: List[_Sequence] = []  # readmit before new work
         self._prefilling: Optional[_Sequence] = None
         self._prefill_unsynced = False  # async prefill queued on device
+        self._chain: Optional[_DecodeChain] = None  # pipelined decode run
 
         self._wake = threading.Event()
         self._stats_reset = threading.Event()
@@ -488,6 +522,12 @@ class Engine:
         self.stats.prefill_dispatches += 1
         self._prefill_unsynced = True
         self.stats.prefill_time_s += time.monotonic() - t0
+        if self._trace:
+            print(
+                f"[ENGINE prefill] {real_t} tok, window {len(table)}, "
+                f"dispatch {1e3 * (time.monotonic() - t0):.1f} ms",
+                flush=True,
+            )
 
         if seq.prompt_done:
             # trim over-allocated pages beyond the prompt (pad pages stay —
@@ -503,6 +543,52 @@ class Engine:
 
     # ------------------------------------------------------------------
     def _decode_chunk(self) -> bool:
+        """Run the decode pipeline one fetch forward.
+
+        Stages a new chain from host state when none is active, keeps up to
+        econf.decode_pipeline chunks in flight (chained from device state,
+        no host round-trip between them), then fetches the OLDEST chunk's
+        tokens — the fetch overlaps the later chunks' execution."""
+        if self._chain is None and not self._start_chain():
+            return False
+        chain = self._chain
+        if chain is None:
+            # staging preempted every staged sequence — that was the progress
+            return True
+        depth = max(self.econf.decode_pipeline, 1)
+        while (
+            len(chain.inflight) < depth
+            and chain.budget > 0
+            and chain.live
+            and self._pending.empty()
+            and self._prefilling is None
+            and not self._preempted
+        ):
+            self._dispatch_chained(chain)
+
+        t_fetch = time.monotonic()
+        out = np.asarray(chain.inflight.pop(0))  # blocks on oldest chunk only
+        if self._trace:
+            print(
+                f"[ENGINE chunk] fetch {1e3 * (time.monotonic() - t_fetch):.1f}"
+                f" ms, {len(chain.inflight)} still in flight, "
+                f"budget {chain.budget}",
+                flush=True,
+            )
+        self._emit_chunk(chain, out)
+        now = time.monotonic()
+        self.stats.decode_time_s += now - chain.t_account
+        chain.t_account = now
+        if not chain.inflight:
+            # chain drained: stale device page tables are no longer in use,
+            # quarantined pages may circulate again
+            for page in chain.quarantine:
+                self.allocator.decref(page)
+            self._chain = None
+        return True
+
+    def _start_chain(self) -> bool:
+        """Stage a decode chain from host state and dispatch its first chunk."""
         b = self.max_batch
         n = self.decode_steps
         # retire sequences whose next chunk would write past max_seq_len
@@ -528,6 +614,7 @@ class Engine:
         tables = np.zeros((b, self.max_pages_per_seq), dtype=np.int32)
         active_mask = np.zeros(b, dtype=bool)
         eos_floor = np.zeros(b, dtype=np.int32)
+        stop_pos = np.full(b, 2**30, dtype=np.int32)
         temperature = np.zeros(b, dtype=np.float32)
         top_k = np.zeros(b, dtype=np.int32)
         top_p = np.ones(b, dtype=np.float32)
@@ -552,10 +639,16 @@ class Engine:
                     # freeing its pages for the rest of the batch
                     self._preempt(seq)
                     continue
-            tables[i, : len(seq.pages)] = seq.pages
             active_mask[i] = True
             req = seq.request
             eos_floor[i] = len(seq.prompt) + getattr(req, "min_tokens", 0) - 1
+            # feed position of the last allowed token: the device freezes
+            # the row to EOS past it (max_tokens / max_seq_len enforcement
+            # without a host round-trip — what makes chaining legal)
+            stop_pos[i] = min(
+                len(seq.prompt) + req.max_tokens - 2,
+                self.econf.max_seq_len - 2,
+            )
             temperature[i] = req.temperature
             top_k[i] = req.top_k
             top_p[i] = req.top_p
@@ -567,7 +660,37 @@ class Engine:
         if not staged:
             return True  # the preemptions were the progress
 
-        t_staged = time.monotonic()
+        # chain budget: chunks until every staged sequence has passed its
+        # stop_pos (device emits only EOS beyond that).  decode_pipeline=1
+        # disables chaining entirely — every chunk is staged from host state.
+        if self.econf.decode_pipeline > 1:
+            horizon = max(
+                stop_pos[s.slot] - positions[s.slot] + 1 for s in staged
+            )
+            budget = max(-(-int(horizon) // n), 1)
+        else:
+            budget = 1
+        if budget > 1:
+            # reserve the chain's page headroom upfront (writes of REAL
+            # tokens only — positions past stop_pos land on scratch page 0).
+            # Failure is not an error: the chain just shortens to one chunk
+            # and the per-chunk staging path reserves as today.
+            for seq in staged:
+                i = seq.slot
+                last_real = min(positions[i] + budget * n - 1, stop_pos[i])
+                needed = min(
+                    int(last_real) // self.page_size + 1,
+                    self.max_pages_per_seq,
+                )
+                if needed > len(seq.pages):
+                    try:
+                        seq.pages.extend(self._alloc(needed - len(seq.pages)))
+                    except OutOfPages:
+                        budget = 1
+                        break
+        for seq in staged:
+            tables[seq.slot, : len(seq.pages)] = seq.pages
+
         self._rng, sub = jax.random.split(self._rng)
         state = DecodeState(
             tokens=jnp.asarray(tokens),
@@ -576,38 +699,57 @@ class Engine:
             done=jnp.zeros(b, dtype=bool),
             active=jnp.asarray(active_mask),
             eos_floor=jnp.asarray(eos_floor),
+            stop_pos=jnp.asarray(stop_pos),
             temperature=jnp.asarray(temperature),
             top_k=jnp.asarray(top_k),
             top_p=jnp.asarray(top_p),
             rng=sub,
         )
+        if self._trace:
+            print(
+                f"[ENGINE chain] staged {len(staged)} seqs, budget {budget}, "
+                f"stage {1e3 * (time.monotonic() - t0):.1f} ms",
+                flush=True,
+            )
+        self._chain = _DecodeChain(
+            staged=staged,
+            live=list(staged),
+            device_state=state,
+            inflight=[],
+            budget=budget,
+            quarantine=[],
+            t_account=t0,
+        )
+        self._dispatch_chained(self._chain)
+        return True
+
+    def _dispatch_chained(self, chain: "_DecodeChain") -> None:
+        """Dispatch one decode chunk from the chain's device state."""
         eos = jnp.asarray(self.tokenizer.eos_id, dtype=jnp.int32)
         if self._sharded_decode is not None:
             self.cache, state, out = self._sharded_decode(
-                self.params, self.cache, state, eos
+                self.params, self.cache, chain.device_state, eos
             )
         else:
             self.cache, state, out = step_mod.decode_steps(
                 self.spec,
                 self.params,
                 self.cache,
-                n,
-                state,
+                self.decode_steps,
+                chain.device_state,
                 eos,
                 self._use_paged_kernel,
             )
-        t_dispatched = time.monotonic()
-        out = np.asarray(out)  # [B, n] — the one host sync per chunk
-        if self._trace:
-            print(
-                f"[ENGINE chunk] stage {1e3 * (t_staged - t0):.1f} ms, "
-                f"dispatch {1e3 * (t_dispatched - t_staged):.1f} ms, "
-                f"execute+fetch {1e3 * (time.monotonic() - t_dispatched):.1f} ms",
-                flush=True,
-            )
+        chain.device_state = state
+        chain.inflight.append(out)
+        chain.budget -= 1
+        self.stats.decode_dispatches += 1
+        self.stats.batch_occupancy_sum += len(chain.live)
 
+    def _emit_chunk(self, chain: "_DecodeChain", out: np.ndarray) -> None:
+        """Append one fetched chunk's tokens; retire finished sequences."""
         emitted = 0
-        for seq in staged:
+        for seq in list(chain.live):
             row = out[seq.slot]
             for token in row:
                 if len(seq.generated) >= seq.request.max_tokens:
@@ -626,15 +768,19 @@ class Engine:
                     >= self.econf.max_seq_len
                 )
             ):
+                chain.live.remove(seq)
                 self._retire(seq)
-
         self.stats.decode_tokens += emitted
-        self.stats.decode_dispatches += 1
-        self.stats.batch_occupancy_sum += len(staged)
-        self.stats.decode_time_s += time.monotonic() - t0
-        return True
 
     # ------------------------------------------------------------------
+    def _release_page(self, page: int) -> None:
+        """Free a page — or quarantine it while decode chunks are in flight
+        (their stale device page tables may still write through it)."""
+        if self._chain is not None and self._chain.inflight:
+            self._chain.quarantine.append(page)
+        else:
+            self.allocator.decref(page)
+
     def _preempt(self, seq: _Sequence) -> None:
         """Release a sequence's pages under pool pressure; it re-enters
         admission and recomputes its KV from prompt+generated (vLLM-style
@@ -643,7 +789,7 @@ class Engine:
             self._slots[seq.slot] = None
         seq.slot = -1
         for page in seq.pages:
-            self.allocator.decref(page)
+            self._release_page(page)
         seq.pages = []
         seq.n_cached = 0
         seq.prefilled = 0
@@ -668,7 +814,7 @@ class Engine:
             self.prefix_cache.insert(all_tokens[: full * self.page_size],
                                      seq.pages[:full])
         for page in seq.pages:
-            self.allocator.decref(page)
+            self._release_page(page)
         seq.pages = []
 
         usage = {

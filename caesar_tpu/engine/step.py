@@ -48,6 +48,7 @@ from caesar_tpu.engine.sampling import sample_tokens
         "done",
         "active",
         "eos_floor",
+        "stop_pos",
         "temperature",
         "top_k",
         "top_p",
@@ -76,6 +77,11 @@ class DecodeState:
     #: positions below this value have EOS suppressed in the logits
     #: (min_tokens support: prompt_len + min_tokens - 1)
     eos_floor: jax.Array
+    #: feed position of the LAST allowed token (prompt_len + max_tokens - 2):
+    #: done is set once positions pass it, so the device stops sampling a
+    #: sequence at its max_tokens without a host round-trip — what lets the
+    #: engine chain decode chunks from device state (decode_pipeline > 1)
+    stop_pos: jax.Array
     temperature: jax.Array
     top_k: jax.Array
     top_p: jax.Array
@@ -310,7 +316,11 @@ def _decode_one(
     )
     # frozen slots emit EOS; live ones their sample
     emit = jnp.where(state.done | ~state.active, eos_id, sampled)
-    new_done = state.done | (emit == eos_id)
+    # done on EOS or once this feed produced the sequence's max_tokens-th
+    # token (stop_pos): chained chunks then freeze the row to EOS on device
+    new_done = (
+        state.done | (emit == eos_id) | (state.positions >= state.stop_pos)
+    )
 
     new_state = DecodeState(
         tokens=emit.astype(state.tokens.dtype),
@@ -319,6 +329,7 @@ def _decode_one(
         done=new_done,
         active=state.active,
         eos_floor=state.eos_floor,
+        stop_pos=state.stop_pos,
         temperature=state.temperature,
         top_k=state.top_k,
         top_p=state.top_p,
@@ -447,7 +458,8 @@ def make_sharded_decode_steps(
     interpret = jax.default_backend() != "tpu"
     state_specs = DecodeState(
         tokens=P(), positions=P(), page_tables=P(), done=P(), active=P(),
-        eos_floor=P(), temperature=P(), top_k=P(), top_p=P(), rng=P(),
+        eos_floor=P(), stop_pos=P(), temperature=P(), top_k=P(), top_p=P(),
+        rng=P(),
     )
 
     def inner(params, cache, state, eos_id):

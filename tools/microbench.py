@@ -203,6 +203,7 @@ def bench_step():
         done=jnp.zeros(B, bool),
         active=jnp.ones(B, bool),
         eos_floor=jnp.zeros(B, jnp.int32),
+        stop_pos=jnp.full((B,), 2**30, jnp.int32),
         temperature=jnp.zeros(B, jnp.float32),
         top_k=jnp.zeros(B, jnp.int32),
         top_p=jnp.ones(B, jnp.float32),

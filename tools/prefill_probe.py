@@ -1,0 +1,166 @@
+"""Prefill-chunk budget probe (bench showed ~0.74 s per 256-token chunk on
+TPU vs the ~20 ms weight-pass expectation — find where it goes).
+
+Times the REAL `step.prefill_chunk` dispatch end-to-end (differential over
+call counts, same method as step_probe), then the components in isolation:
+the per-layer XLA paged-attention gather path, write_chunk scatter, and the
+m=256 quant matmuls.
+
+    python tools/prefill_probe.py [quant] [chunk] [window_pages]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from tools.kernel_probe import loop_time
+from tools.step_probe import build_fake_params
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from caesar_tpu.engine import kvcache, step as step_mod
+    from caesar_tpu.engine.model import get_spec, linear, mlp, qkv_project
+
+    quant = sys.argv[1] if len(sys.argv) > 1 else "w8a8"
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    page_size = 64
+    window = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    max_seq = 2048
+    kv_quant = os.environ.get("PROBE_KV", "bf16")
+
+    spec = get_spec(os.environ.get("PROBE_MODEL", "qwen2.5-coder-7b"))
+    key = jax.random.PRNGKey(0)
+    params = build_fake_params(spec, quant, key)
+    # pool sized like the serving engine's auto_pages on a v5e (the copy
+    # cost of a non-in-place scatter scales with POOL size, so probe the
+    # real size)
+    n_pages = int(os.environ.get("PROBE_PAGES", "0")) or (
+        32 * (max_seq // page_size) // 2 + 64
+    )
+    cache = kvcache.create_cache(spec, n_pages, page_size, kv_quant)
+    pool_gb = (
+        cache.k_pages.size * cache.k_pages.dtype.itemsize * 2 / 2**30
+    )
+    print(f"pool: {n_pages} pages, {pool_gb:.2f} GB total")
+
+    tokens = jnp.full((chunk,), 7, jnp.int32)
+    positions = jnp.arange(chunk, dtype=jnp.int32)
+    table = jnp.asarray(np.arange(1, window + 1, dtype=np.int32))
+    chunk_pages = jnp.asarray(
+        np.arange(1, chunk // page_size + 1, dtype=np.int32)
+    )
+    last = jnp.asarray(chunk - 1, jnp.int32)
+
+    def run_prefill(n):
+        nonlocal cache
+        c = cache
+        t0 = time.perf_counter()
+        for _ in range(n):
+            c, logits = step_mod.prefill_chunk(
+                spec, params, c, tokens, positions, table, chunk_pages, last
+            )
+        np.asarray(logits)  # sync
+        dt = time.perf_counter() - t0
+        cache = c
+        return dt
+
+    run_prefill(1)  # compile
+    t8 = run_prefill(8)
+    t2 = run_prefill(2)
+    chunk_ms = (t8 - t2) / 6 * 1e3
+    print(
+        f"prefill chunk total: {chunk_ms:8.2f} ms  "
+        f"({chunk / (chunk_ms / 1e3):,.0f} tok/s)"
+    )
+
+    # ---- components ---------------------------------------------------
+    layer = params["layers"][0]
+    x0 = jax.random.normal(key, (1, chunk, spec.dim), jnp.bfloat16)
+    pos2d = positions[None]
+
+    comps = {}
+
+    def comp(name, make_step, x0, extras=(), per_layer=True, iters=200):
+        t_big = loop_time(make_step, x0, iters, extras)
+        t_small = loop_time(make_step, x0, iters // 10, extras)
+        ms = (t_big - t_small) / (iters - iters // 10) * 1e3
+        comps[name] = (ms, per_layer)
+
+    def qkv_step(x, wqkv, bqkv):
+        q, k, v = qkv_project(spec, {"wqkv": wqkv, "bqkv": bqkv}, x, pos2d)
+        return x + q[..., :1, 0, :1] * 0.0
+
+    comp("qkv proj (+rope)", qkv_step, x0,
+         extras=(layer["wqkv"], layer["bqkv"]))
+
+    def o_step(x, wo):
+        return x * 0.999 + linear(x.reshape(1, chunk, spec.q_dim), wo) * 0.0
+
+    comp("o proj", o_step, x0, extras=(layer["wo"],))
+
+    def mlp_step(x, mlp_params):
+        return x * 0.999 + mlp(mlp_params, x) * 0.0
+
+    comp("mlp (gate_up+down)", mlp_step, x0, extras=(layer["mlp"],))
+
+    # XLA paged-attention gather path at prefill shapes
+    q0 = jax.random.normal(
+        key, (1, chunk, spec.n_heads, spec.head_dim), jnp.bfloat16
+    )
+
+    def attn_step(q, kp, vp):
+        c = kvcache.PagedKVCache(k_pages=kp, v_pages=vp, page_size=page_size)
+        out = step_mod._paged_attention(
+            spec, c, 0, q, table[None], pos2d
+        )
+        return q + out[..., :1, :1, :1] * 0.0
+
+    comp("prefill attention (XLA)", attn_step, q0,
+         extras=(cache.k_pages, cache.v_pages), iters=100)
+
+    # write_chunk scatter: pool travels in the carry for in-place updates
+    kvc = jax.random.normal(
+        key, (chunk, spec.n_kv_heads, spec.head_dim), jnp.bfloat16
+    )
+
+    def write_step(carry):
+        kp, vp, kv = carry
+        c = kvcache.PagedKVCache(k_pages=kp, v_pages=vp, page_size=page_size)
+        c = kvcache.write_chunk(c, 0, chunk_pages, kv, kv)
+        return (c.k_pages, c.v_pages,
+                kv + c.k_pages[0, 0, 0].astype(kv.dtype) * 0.0)
+
+    comp("kv write_chunk", write_step,
+         (cache.k_pages, cache.v_pages, kvc), iters=100)
+
+    def head_step(x, hw):
+        h = linear(x[0, -1:], hw)
+        return x + h[:, :1, None].astype(x.dtype) * 0.0
+
+    comp("lm head (last tok)", head_step, x0,
+         extras=(params.get("unembed", params["embed"].T),),
+         per_layer=False)
+
+    total = 0.0
+    print(f"\nper-op budget (chunk={chunk}, window={window}, quant={quant}):")
+    for name, (ms, per_layer) in comps.items():
+        n = spec.n_layers if per_layer else 1
+        tot = ms * n
+        total += tot
+        print(f"  {name:26s} {ms:8.4f} ms x{n:3d} = {tot:8.3f} ms")
+    print(f"  {'SUM of components':26s} {'':8s}        = {total:8.3f} ms")
+    print(f"  {'measured full chunk':26s} {'':8s}        = {chunk_ms:8.3f} ms"
+          f"   (unattributed: {chunk_ms - total:+.3f} ms)")
+
+
+if __name__ == "__main__":
+    main()

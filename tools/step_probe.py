@@ -130,6 +130,7 @@ def main() -> None:
         done=jnp.zeros((batch,), bool),
         active=jnp.ones((batch,), bool),
         eos_floor=jnp.zeros((batch,), jnp.int32),
+        stop_pos=jnp.full((batch,), 2**30, jnp.int32),
         temperature=jnp.zeros((batch,), jnp.float32),
         top_k=jnp.zeros((batch,), jnp.int32),
         top_p=jnp.ones((batch,), jnp.float32),
