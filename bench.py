@@ -98,9 +98,26 @@ def main() -> None:
         for f in futures:
             f.result(timeout=3600)
 
-    # warmup: compile prefill + decode graphs
+    # warmup: compile prefill + decode graphs.  Prompts tokenize to slightly
+    # different lengths; ones spilling past prefill_chunk hit a LARGER
+    # power-of-two gather window (engine._prefill_one_chunk) — submit the
+    # longest prompt too so every window bucket the measured run touches is
+    # compiled here, not mid-measurement.
     t0 = time.monotonic()
-    run(2, 8)
+    longest = max(
+        range(batch), key=lambda i: len(engine.tokenizer.encode(rng_texts[i]))
+    )
+    futs = [
+        engine.submit(
+            GenerateRequest(
+                prompt=rng_texts[i], temperature=0.0, max_tokens=8,
+                trajectory_id=f"warmup-{i}",
+            )
+        )
+        for i in (0, longest)
+    ]
+    for f in futs:
+        f.result(timeout=3600)
     warmup_s = time.monotonic() - t0
 
     engine.reset_stats()  # scheduler thread swaps at its loop boundary

@@ -61,7 +61,10 @@ def _enable_persistent_compile_cache() -> None:
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+        # low threshold: the prefill gather-window buckets compile in ~7 s
+        # each and would otherwise recompile every process (bench showed a
+        # window-8 compile landing inside the measured run)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # cache is an optimization, never a failure
 
