@@ -524,7 +524,12 @@ class Engine:
         self.stats.prefill_tokens += real_t
         self.stats.prefill_dispatches += 1
         self._prefill_unsynced = True
-        self.stats.prefill_time_s += time.monotonic() - t0
+        dt = time.monotonic() - t0
+        self.stats.prefill_time_s += dt
+        if self._chain is not None:
+            # this span is prefill time; without the shift the live chain's
+            # fetch-to-fetch accounting would count it into decode_time_s too
+            self._chain.t_account += dt
         if self._trace:
             print(
                 f"[ENGINE prefill] {real_t} tok, window {len(table)}, "
@@ -559,6 +564,10 @@ class Engine:
             # staging preempted every staged sequence — that was the progress
             return True
         depth = max(self.econf.decode_pipeline, 1)
+        # a sequence that finished prefill mid-chain sits in _slots but not
+        # in chain.staged: keep topping up and its decode would starve for
+        # the chain's whole budget — stop, drain, restage with it instead
+        staged_ids = {id(s) for s in chain.staged}
         while (
             len(chain.inflight) < depth
             and chain.budget > 0
@@ -566,6 +575,9 @@ class Engine:
             and self._pending.empty()
             and self._prefilling is None
             and not self._preempted
+            and all(
+                sl is None or id(sl) in staged_ids for sl in self._slots
+            )
         ):
             self._dispatch_chained(chain)
 
@@ -594,10 +606,16 @@ class Engine:
         """Stage a decode chain from host state and dispatch its first chunk."""
         b = self.max_batch
         n = self.decode_steps
-        # retire sequences whose next chunk would write past max_seq_len
+        # safety net: retire sequences that cannot feed even one more real
+        # token (stop_pos < feed position).  _emit_chunk retires at the
+        # max_seq_len cap so this should never fire; crucially it must NOT
+        # fire for a freshly admitted near-max_seq_len prompt — the device
+        # freezes rows past stop_pos (step.py `live`), so a final partial
+        # chunk is always legal and every admitted sequence generates at
+        # least one token (no silent empty completions).
         for seq in [s for s in self._slots if s is not None]:
             next_pos = len(seq.prompt) + len(seq.generated) - 1
-            if next_pos > self.econf.max_seq_len - 1 - n:
+            if next_pos > self.econf.max_seq_len - 2:
                 self._retire(seq)
         active = [s for s in self._slots if s is not None]
         if not active:
@@ -631,8 +649,17 @@ class Engine:
                 # re-feed the final prompt token (rewrites identical KV)
                 tokens[i] = seq.prompt[-1]
                 positions[i] = len(seq.prompt) - 1
-            # page headroom covering the chunk's writes
-            last_write = positions[i] + n - 1
+            req = seq.request
+            # feed position of the last allowed token: the device freezes
+            # the row to EOS past it (max_tokens / max_seq_len enforcement
+            # without a host round-trip — what makes chaining legal)
+            stop = min(
+                len(seq.prompt) + req.max_tokens - 2,
+                self.econf.max_seq_len - 2,
+            )
+            # page headroom covering the chunk's REAL writes (positions past
+            # stop freeze and park on scratch page 0 — step.py `live`)
+            last_write = min(positions[i] + n - 1, stop)
             needed = min(last_write // self.page_size + 1, self.max_pages_per_seq)
             if needed > len(seq.pages):
                 try:
@@ -643,15 +670,8 @@ class Engine:
                     self._preempt(seq)
                     continue
             active_mask[i] = True
-            req = seq.request
             eos_floor[i] = len(seq.prompt) + getattr(req, "min_tokens", 0) - 1
-            # feed position of the last allowed token: the device freezes
-            # the row to EOS past it (max_tokens / max_seq_len enforcement
-            # without a host round-trip — what makes chaining legal)
-            stop_pos[i] = min(
-                len(seq.prompt) + req.max_tokens - 2,
-                self.econf.max_seq_len - 2,
-            )
+            stop_pos[i] = stop
             temperature[i] = req.temperature
             top_k[i] = req.top_k
             top_p[i] = req.top_p

