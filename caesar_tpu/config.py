@@ -69,6 +69,10 @@ class EngineConfig:
     max_seq_len: int = 4096
     #: prefill chunk size (tokens per scheduler prefill step)
     prefill_chunk: int = 512
+    #: max sequences prefilled per dispatch (rows of one batched prefill
+    #: step share the weight stream, so P pending prefills cost barely more
+    #: than one; row counts bucket to powers of two — one compile each)
+    prefill_batch: int = 4
     #: tensor-parallel size (chips); 1 on a single chip
     tp: int = 1
     #: data-parallel replicas (across remaining chips)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import asyncio
 import dataclasses
+import functools
 import queue
 import threading
 import time
@@ -267,7 +268,7 @@ class Engine:
         self._slots: List[Optional[_Sequence]] = [None] * self.max_batch
         self._pending: "queue.Queue[_Sequence]" = queue.Queue()
         self._preempted: List[_Sequence] = []  # readmit before new work
-        self._prefilling: Optional[_Sequence] = None
+        self._prefilling: List[_Sequence] = []
         self._prefill_unsynced = False  # async prefill queued on device
         self._chain: Optional[_DecodeChain] = None  # pipelined decode run
 
@@ -369,7 +370,7 @@ class Engine:
                 progressed |= self._admit()
                 progressed |= self._prefill_one_chunk()
                 if self.econf.prefill_priority and (
-                    self._prefilling is not None
+                    self._prefilling
                     or (
                         not self._pending.empty()
                         and any(s is None for s in self._slots)
@@ -388,8 +389,9 @@ class Engine:
             for slot in self._slots:
                 if slot is not None and not slot.future.done():
                     slot.future.set_exception(e)
-            if self._prefilling and not self._prefilling.future.done():
-                self._prefilling.future.set_exception(e)
+            for seq in self._prefilling:
+                if not seq.future.done():
+                    seq.future.set_exception(e)
             while True:
                 try:
                     seq = self._pending.get_nowait()
@@ -408,122 +410,165 @@ class Engine:
         return len(self.prefix_cache) if self.prefix_cache is not None else 0
 
     def _admit(self) -> bool:
-        """Start prefilling the next waiting sequence if a slot is free AND
-        the page pool can plausibly hold it (admission control: a request
-        that cannot fit must wait, never kill the engine)."""
-        if self._prefilling is not None:
-            return False
-        if all(s is not None for s in self._slots):
-            return False
-        if self._preempted:
-            seq = self._preempted.pop(0)
-        else:
-            try:
-                seq = self._pending.get_nowait()
-            except queue.Empty:
-                return False
+        """Start prefilling waiting sequences while prefill-batch rows, slot
+        space, and the page pool allow (admission control: a request that
+        cannot fit must wait, never kill the engine).
 
-        total = seq.all_tokens()
-        # a sequence that could never fit the pool fails loudly instead of
-        # livelocking through preemption
-        worst_case_pages = (
-            -(-(len(seq.prompt) + seq.request.max_tokens) // self.page_size) + 1
-        )
-        if worst_case_pages > self.allocator.n_pages - 1:
-            if not seq.future.done():
-                seq.future.set_exception(
-                    RuntimeError(
-                        f"sequence needs {worst_case_pages} KV pages but the "
-                        f"pool holds {self.allocator.n_pages}"
+        Up to econf.prefill_batch sequences prefill together — their chunks
+        are rows of ONE batched prefill dispatch sharing the weight stream
+        (step.prefill_chunk), which is what keeps prefill from starving the
+        decode batch at high trajectory counts."""
+        admitted = False
+        while len(self._prefilling) < max(self.econf.prefill_batch, 1):
+            # every prefilling sequence will need a decode slot when it seats
+            free_slots = sum(s is None for s in self._slots) - len(
+                self._prefilling
+            )
+            if free_slots <= 0:
+                break
+            if self._preempted:
+                seq = self._preempted.pop(0)
+            else:
+                try:
+                    seq = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+
+            total = seq.all_tokens()
+            # a sequence that could never fit the pool fails loudly instead
+            # of livelocking through preemption
+            worst_case_pages = (
+                -(-(len(seq.prompt) + seq.request.max_tokens)
+                  // self.page_size) + 1
+            )
+            if worst_case_pages > self.allocator.n_pages - 1:
+                if not seq.future.done():
+                    seq.future.set_exception(
+                        RuntimeError(
+                            f"sequence needs {worst_case_pages} KV pages but "
+                            f"the pool holds {self.allocator.n_pages}"
+                        )
                     )
-                )
-            return True
+                admitted = True
+                continue
 
-        needed_now = -(-len(total) // self.page_size) + 2  # + decode headroom
-        if needed_now > self.allocator.free_pages + self._pages_evictable():
-            # pool pressure: wait for retirements
-            self._preempted.insert(0, seq)
-            return False
+            # pages the already-admitted prefill rows still need, so a batch
+            # of admissions cannot jointly overcommit the pool
+            reserved = sum(
+                max(-(-len(s.all_tokens()) // self.page_size) + 2
+                    - len(s.pages), 0)
+                for s in self._prefilling
+            )
+            needed_now = -(-len(total) // self.page_size) + 2  # + headroom
+            if needed_now + reserved > (
+                self.allocator.free_pages + self._pages_evictable()
+            ):
+                # pool pressure: wait for retirements
+                self._preempted.insert(0, seq)
+                break
 
-        if self.prefix_cache is not None:
-            pages, n_cached = self.prefix_cache.match(total)
-            # always recompute at least the last token so decode can re-feed it
-            while n_cached >= len(total) and pages:
-                page = pages.pop()
-                self.allocator.decref(page)
-                n_cached -= self.page_size
-            seq.pages = pages
-            seq.n_cached = n_cached
+            if self.prefix_cache is not None:
+                pages, n_cached = self.prefix_cache.match(total)
+                # always recompute at least the last token so decode can
+                # re-feed it
+                while n_cached >= len(total) and pages:
+                    page = pages.pop()
+                    self.allocator.decref(page)
+                    n_cached -= self.page_size
+                seq.pages = pages
+                seq.n_cached = n_cached
 
-        self._prefilling = seq
-        return True
+            self._prefilling.append(seq)
+            admitted = True
+        return admitted
 
     def _prefill_one_chunk(self) -> bool:
-        seq = self._prefilling
-        if seq is None:
+        """Dispatch one BATCHED prefill step: one chunk for every sequence
+        currently prefilling (rows of step.prefill_chunk share the weight
+        stream).  Row count buckets to a power of two; padding rows write
+        to scratch page 0 and their logits are discarded."""
+        if not self._prefilling:
             return False
         t0 = time.monotonic()
+        chunk = self.prefill_chunk
+        n_chunk_pages = chunk // self.page_size
 
-        all_tokens = seq.all_tokens()
-        start = seq.n_cached + seq.prefilled
-        remaining = all_tokens[start:]
-        chunk_tokens = remaining[: self.prefill_chunk]
-        real_t = len(chunk_tokens)
-        pad = self.prefill_chunk - real_t
-        tokens = np.asarray(
-            chunk_tokens + [0] * pad, dtype=np.int32
-        )
-        positions = np.arange(start, start + self.prefill_chunk, dtype=np.int32)
+        rows = []  # (seq, real_t, new_pages)
+        need_max = 1
+        for seq in list(self._prefilling):
+            all_tokens = seq.all_tokens()
+            start = seq.n_cached + seq.prefilled
+            try:
+                new_pages = self._alloc(n_chunk_pages)
+            except OutOfPages:
+                # pool pressure mid-prefill: release and retry later
+                self._prefilling.remove(seq)
+                self._preempt(seq)
+                continue
+            seq.pages.extend(new_pages)
+            real_t = min(len(all_tokens) - start, chunk)
+            rows.append((seq, real_t, new_pages))
+            need_max = max(need_max, -(-(start + chunk) // self.page_size))
+        if not rows:
+            return True  # the preemptions were the progress
 
-        n_chunk_pages = self.prefill_chunk // self.page_size
-        try:
-            new_pages = self._alloc(n_chunk_pages)
-        except OutOfPages:
-            # pool pressure mid-prefill: release and retry later
-            self._prefilling = None
-            self._preempt(seq)
-            return True
-        seq.pages.extend(new_pages)
-
-        table = np.zeros(self.max_pages_per_seq, dtype=np.int32)
-        table[: len(seq.pages)] = seq.pages
-        # static gather window: just the pages covering this chunk's last
-        # position, rounded up to a power of two (one compile per bucket).
-        # The XLA prefill-attention path materializes [T, window*page]
-        # scores per layer — gathering the full max_seq_len table cost
-        # ~0.5 GB of score traffic per layer for a 256-token prompt.
-        need = -(-(start + self.prefill_chunk) // self.page_size)
+        p = 1  # row-count bucket (one compile per bucket)
+        while p < len(rows):
+            p *= 2
+        tokens = np.zeros((p, chunk), dtype=np.int32)
+        positions = np.zeros((p, chunk), dtype=np.int32)
+        chunk_ids = np.zeros((p, n_chunk_pages), dtype=np.int32)
+        last_index = np.zeros((p,), dtype=np.int32)
+        # static gather window: just the pages covering the deepest row's
+        # last position, rounded up to a power of two (one compile per
+        # bucket).  The XLA prefill-attention path materializes
+        # [P, T, window*page] scores per layer — gathering the full
+        # max_seq_len table cost ~0.5 GB of score traffic per layer for a
+        # 256-token prompt.
         window = 1
-        while window < need:
+        while window < need_max:
             window *= 2
         window = min(window, self.max_pages_per_seq)
-        table = table[:window]
+        tables = np.zeros((p, window), dtype=np.int32)
+        for i, (seq, real_t, new_pages) in enumerate(rows):
+            start = seq.n_cached + seq.prefilled
+            tokens[i, :real_t] = seq.all_tokens()[start : start + real_t]
+            positions[i] = np.arange(start, start + chunk, dtype=np.int32)
+            chunk_ids[i] = new_pages
+            last_index[i] = real_t - 1
+            n_table = min(len(seq.pages), window)
+            tables[i, :n_table] = seq.pages[:n_table]
 
-        if self._sharded_prefill is not None:
-            self.cache, _logits = self._sharded_prefill(
-                self.params,
-                self.cache,
-                jnp.asarray(tokens),
-                jnp.asarray(positions),
-                jnp.asarray(table),
-                jnp.asarray(np.asarray(new_pages, dtype=np.int32)),
-                jnp.asarray(real_t - 1, dtype=np.int32),
-            )
-        else:
-            self.cache, _logits = step_mod.prefill_chunk(
-                self.spec,
-                self.params,
-                self.cache,
-                jnp.asarray(tokens),
-                jnp.asarray(positions),
-                jnp.asarray(table),
-                jnp.asarray(np.asarray(new_pages, dtype=np.int32)),
-                jnp.asarray(real_t - 1, dtype=np.int32),
-            )
-        seq.prefilled += real_t
-        self.stats.prefill_tokens += real_t
+        dispatch = self._sharded_prefill or functools.partial(
+            step_mod.prefill_chunk, self.spec
+        )
+        self.cache, _logits = dispatch(
+            self.params,
+            self.cache,
+            jnp.asarray(tokens),
+            jnp.asarray(positions),
+            jnp.asarray(tables),
+            jnp.asarray(chunk_ids),
+            jnp.asarray(last_index),
+        )
         self.stats.prefill_dispatches += 1
         self._prefill_unsynced = True
+
+        for seq, real_t, _ in rows:
+            seq.prefilled += real_t
+            self.stats.prefill_tokens += real_t
+            if seq.prompt_done:
+                # trim over-allocated pages beyond the prompt (pad pages
+                # stay — they are within the last chunk; drop whole-page
+                # overshoot)
+                needed = -(-len(seq.all_tokens()) // self.page_size)
+                while len(seq.pages) > needed:
+                    self.allocator.decref(seq.pages.pop())
+                slot = self._slots.index(None)
+                seq.slot = slot
+                self._slots[slot] = seq
+                self._prefilling.remove(seq)
+
         dt = time.monotonic() - t0
         self.stats.prefill_time_s += dt
         if self._chain is not None:
@@ -532,21 +577,11 @@ class Engine:
             self._chain.t_account += dt
         if self._trace:
             print(
-                f"[ENGINE prefill] {real_t} tok, window {len(table)}, "
-                f"dispatch {1e3 * (time.monotonic() - t0):.1f} ms",
+                f"[ENGINE prefill] {len(rows)} seqs x {chunk} tok "
+                f"(bucket {p}), window {window}, "
+                f"dispatch {1e3 * dt:.1f} ms",
                 flush=True,
             )
-
-        if seq.prompt_done:
-            # trim over-allocated pages beyond the prompt (pad pages stay —
-            # they are within the last chunk; drop whole-page overshoot)
-            needed = -(-len(all_tokens) // self.page_size)
-            while len(seq.pages) > needed:
-                self.allocator.decref(seq.pages.pop())
-            slot = self._slots.index(None)
-            seq.slot = slot
-            self._slots[slot] = seq
-            self._prefilling = None
         return True
 
     # ------------------------------------------------------------------
@@ -573,7 +608,7 @@ class Engine:
             and chain.budget > 0
             and chain.live
             and self._pending.empty()
-            and self._prefilling is None
+            and not self._prefilling
             and not self._preempted
             and all(
                 sl is None or id(sl) in staged_ids for sl in self._slots

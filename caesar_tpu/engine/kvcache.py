@@ -112,6 +112,34 @@ def write_chunk(
     )
 
 
+def write_chunk_batch(
+    cache: PagedKVCache,
+    layer: int,
+    page_ids: jax.Array,  # [P, n_chunk_pages] int32 — per-row chunk pages
+    k: jax.Array,  # [P, T, n_kv, hd] bf16, T == n_chunk_pages * page_size
+    v: jax.Array,
+) -> PagedKVCache:
+    """Scatter P sequences' page-aligned prefill chunks into the pool.
+
+    Rows never share REAL pages (the allocator hands each sequence its own);
+    padding rows all target the reserved scratch page 0, where overlapping
+    writes are benign (page 0 is never read unmasked)."""
+    p, t, n_kv, hd = k.shape
+    pages = t // cache.page_size
+    kp = k.reshape(p * pages, cache.page_size, n_kv, hd).astype(
+        cache.k_pages.dtype
+    )
+    vp = v.reshape(p * pages, cache.page_size, n_kv, hd).astype(
+        cache.v_pages.dtype
+    )
+    flat_ids = page_ids.reshape(-1)
+    return PagedKVCache(
+        k_pages=cache.k_pages.at[layer, flat_ids].set(kp),
+        v_pages=cache.v_pages.at[layer, flat_ids].set(vp),
+        page_size=cache.page_size,
+    )
+
+
 def write_token(
     cache: PagedKVCache,
     layer: int,

@@ -145,24 +145,32 @@ def _prefill_impl(
     spec: ModelSpec,
     params: dict,
     cache: PagedKVCache,
-    tokens: jax.Array,
-    positions: jax.Array,
-    page_table: jax.Array,
-    chunk_page_ids: jax.Array,
-    last_index: jax.Array,
+    tokens: jax.Array,  # [P, T]
+    positions: jax.Array,  # [P, T]
+    page_table: jax.Array,  # [P, W]
+    chunk_page_ids: jax.Array,  # [P, T // page_size]
+    last_index: jax.Array,  # [P]
     tp_axis: Optional[str] = None,
 ) -> Tuple[PagedKVCache, jax.Array]:
     """Prefill body, shared by the single-device jit and the shard_map
     tensor-parallel wrapper (tp_axis set => spec is the LOCAL shard's head
-    counts; row-parallel wo/down psum explicitly)."""
-    x = params["embed"][tokens][None]  # [1, T, D]
-    pos2d = positions[None]  # [1, T]
+    counts; row-parallel wo/down psum explicitly).
+
+    BATCHED over P sequences: each row is an independent chunk (own
+    positions, own page table) — the rows share one weight stream, so P
+    pending prefills cost barely more than one (prefill at serving chunk
+    sizes is dominated by per-chunk fixed work, not tokens).  Padding rows
+    write to scratch page 0 and their logits row is discarded by the host.
+    """
+    x = params["embed"][tokens]  # [P, T, D]
     for layer_idx, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["ln_attn"], spec.rms_eps)
-        q, k, v = qkv_project(spec, layer, h, pos2d)
-        cache = kvcache.write_chunk(cache, layer_idx, chunk_page_ids, k[0], v[0])
-        attn = _paged_attention(spec, cache, layer_idx, q, page_table[None], pos2d)
-        delta = linear(attn.reshape(1, -1, spec.q_dim), layer["wo"],
+        q, k, v = qkv_project(spec, layer, h, positions)
+        cache = kvcache.write_chunk_batch(
+            cache, layer_idx, chunk_page_ids, k, v
+        )
+        attn = _paged_attention(spec, cache, layer_idx, q, page_table, positions)
+        delta = linear(attn.reshape(*attn.shape[:2], spec.q_dim), layer["wo"],
                        tp_axis=tp_axis)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)  # row-parallel wo
@@ -173,8 +181,10 @@ def _prefill_impl(
             delta = jax.lax.psum(delta, tp_axis)  # row-parallel down
         x = x + delta
     x = rms_norm(x, params["ln_out"], spec.rms_eps)
-    last_hidden = x[0, last_index]  # [D]
-    return cache, _lm_head(spec, params, last_hidden[None], tp_axis)[0]
+    last_hidden = jnp.take_along_axis(
+        x, last_index[:, None, None], axis=1
+    )[:, 0]  # [P, D]
+    return cache, _lm_head(spec, params, last_hidden, tp_axis)
 
 
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
@@ -182,14 +192,14 @@ def prefill_chunk(
     spec: ModelSpec,
     params: dict,
     cache: PagedKVCache,
-    tokens: jax.Array,  # [T] — one page-aligned chunk, padded to T
-    positions: jax.Array,  # [T] absolute positions (past_len + arange)
-    page_table: jax.Array,  # [max_pages] — full table incl. this chunk's pages
-    chunk_page_ids: jax.Array,  # [T // page_size] — where this chunk writes
-    last_index: jax.Array,  # scalar — index of the real last token in chunk
+    tokens: jax.Array,  # [P, T] — one page-aligned chunk per row, padded
+    positions: jax.Array,  # [P, T] absolute positions (past_len + arange)
+    page_table: jax.Array,  # [P, W] — full tables incl. the chunks' pages
+    chunk_page_ids: jax.Array,  # [P, T // page_size] — where each row writes
+    last_index: jax.Array,  # [P] — index of the real last token per row
 ) -> Tuple[PagedKVCache, jax.Array]:
-    """Run one prefill chunk of a single sequence; returns (cache, logits of
-    the chunk's last real token [vocab])."""
+    """Run one prefill chunk for each of P sequences; returns (cache, logits
+    of each row's last real token [P, vocab])."""
     return _prefill_impl(
         spec, params, cache, tokens, positions, page_table,
         chunk_page_ids, last_index,

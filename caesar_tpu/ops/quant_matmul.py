@@ -83,25 +83,34 @@ def _pick_tiles_w8a8(
     maximizing bytes per step (equivalently minimizing grid steps) is the
     whole tuning story.  bk may span the ENTIRE reduction dim (no
     accumulation loop at all) when it fits.
+
+    Per-column scales (group == k): bk need NOT be a multiple of the group —
+    the per-column kernel accumulates raw int32 across K-tiles and rescales
+    once at the last one, so any divisor of k works.  This is what keeps the
+    7B down projection (k=18944, whose only group-multiple tile is the whole
+    18944 x bn slab) on the kernel path instead of the XLA fallback.
     """
     def fits(bk, bn):
+        groups_per_tile = max(bk // group, 1)
         vmem = (
             2 * bk * bn * w_bytes_per_el  # double-buffered weight tile
             + 2 * m * bk  # int8 activations (double-buffered)
             + m * bn * 4  # f32 out tile
-            + 2 * (bk // group) * bn * 2  # scales
+            + m * bn * 4  # int32 accumulator scratch (per-column kernel)
+            + 2 * groups_per_tile * bn * 2  # scales
         )
         return vmem <= _VMEM_BUDGET
 
+    bk_step = group if group < k else 128  # per-column: any 128-multiple
     forced_bn = int(_os.environ.get("CAESAR_QMM_BN", "0"))
     if forced_bn and n % forced_bn == 0:
-        for bk in sorted(_divisors_mult(k, group, 32768), reverse=True):
+        for bk in sorted(_divisors_mult(k, bk_step, 32768), reverse=True):
             if fits(bk, forced_bn):
                 return (bk, forced_bn)
     best = None
     best_key = None
     for bn in _divisors_mult(n, 128, 8192):
-        for bk in _divisors_mult(k, group, 8192):
+        for bk in _divisors_mult(k, bk_step, 32768):
             if not fits(bk, bn):
                 continue
             key = (bk * bn, bk)  # max tile bytes, tie-break deeper K
@@ -204,6 +213,28 @@ def _w8a8_kernel(xq_ref, qw_ref, s_ref, out_ref):
     out_ref[:] += acc
 
 
+def _w8a8_percol_kernel(xq_ref, qw_ref, s_ref, out_ref, acc_ref):
+    """Per-column-scale variant: the scale has no K dependence, so K-tiles
+    accumulate RAW int32 partial sums in scratch (exact: K * 127^2 < 2^31
+    for every supported K) and the single per-column rescale happens once,
+    at the last K step.  This frees bk from the bk % group == 0 constraint
+    — any VMEM-fitting divisor of K tiles the reduction."""
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        xq_ref[:], qw_ref[:], preferred_element_type=jnp.int32
+    )
+
+    @pl.when(k_idx == pl.num_programs(1) - 1)
+    def _():
+        ws_row = s_ref[0, 0, :].astype(jnp.float32)[None, :]  # [1, BN]
+        out_ref[:] = acc_ref[:].astype(jnp.float32) * ws_row
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group", "k", "n", "bk", "bn", "interpret"),
@@ -213,21 +244,27 @@ def _w8a8_matmul(xq, qweight, scales, group, k, n, bk, bn, interpret):
     grid = (n // bn, k // bk)
     flops = 2 * m * n * k
     bytes_accessed = qweight.size + scales.size * 2 + m * k + m * n * 4
+    percol = group >= k  # one scale row spanning the whole reduction
+    groups_per_tile = 1 if percol else bk // group
     return pl.pallas_call(
-        _w8a8_kernel,
+        _w8a8_percol_kernel if percol else _w8a8_kernel,
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((m, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (bk // group, 1, bn),
-                lambda i, j: (j, 0, i),
+                (groups_per_tile, 1, bn),
+                (lambda i, j: (0, 0, i)) if percol
+                else (lambda i, j: (j, 0, i)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (m, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((m, bn), jnp.int32)] if percol else []
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0

@@ -28,6 +28,10 @@ from tools.kernel_probe import loop_time
 
 
 def main() -> None:
+    # probes compile the same graphs the engine does: reuse its
+    # persistent compile cache so re-runs skip the minutes-long build
+    from caesar_tpu.engine.engine import _enable_persistent_compile_cache
+    _enable_persistent_compile_cache()
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl

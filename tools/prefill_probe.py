@@ -24,6 +24,10 @@ from tools.step_probe import build_fake_params
 
 
 def main() -> None:
+    # probes compile the same graphs the engine does: reuse its
+    # persistent compile cache so re-runs skip the minutes-long build
+    from caesar_tpu.engine.engine import _enable_persistent_compile_cache
+    _enable_persistent_compile_cache()
     import jax
     import jax.numpy as jnp
 
@@ -52,13 +56,17 @@ def main() -> None:
     )
     print(f"pool: {n_pages} pages, {pool_gb:.2f} GB total")
 
-    tokens = jnp.full((chunk,), 7, jnp.int32)
-    positions = jnp.arange(chunk, dtype=jnp.int32)
-    table = jnp.asarray(np.arange(1, window + 1, dtype=np.int32))
-    chunk_pages = jnp.asarray(
-        np.arange(1, chunk // page_size + 1, dtype=np.int32)
+    pbatch = int(os.environ.get("PROBE_PREFILL_BATCH", "1"))
+    tokens = jnp.full((pbatch, chunk), 7, jnp.int32)
+    positions = jnp.tile(jnp.arange(chunk, dtype=jnp.int32), (pbatch, 1))
+    table = jnp.tile(
+        jnp.asarray(np.arange(1, window + 1, dtype=np.int32)), (pbatch, 1)
     )
-    last = jnp.asarray(chunk - 1, jnp.int32)
+    chunk_pages = jnp.tile(
+        jnp.asarray(np.arange(1, chunk // page_size + 1, dtype=np.int32)),
+        (pbatch, 1),
+    )
+    last = jnp.full((pbatch,), chunk - 1, jnp.int32)
 
     def run_prefill(n):
         nonlocal cache
@@ -79,13 +87,14 @@ def main() -> None:
     chunk_ms = (t8 - t2) / 6 * 1e3
     print(
         f"prefill chunk total: {chunk_ms:8.2f} ms  "
-        f"({chunk / (chunk_ms / 1e3):,.0f} tok/s)"
+        f"({pbatch * chunk / (chunk_ms / 1e3):,.0f} tok/s"
+        f" at prefill_batch={pbatch})"
     )
 
-    # ---- components ---------------------------------------------------
+    # ---- components (single-row shapes) -------------------------------
     layer = params["layers"][0]
     x0 = jax.random.normal(key, (1, chunk, spec.dim), jnp.bfloat16)
-    pos2d = positions[None]
+    pos2d = positions[:1]  # [1, chunk]
 
     comps = {}
 
@@ -120,7 +129,7 @@ def main() -> None:
     def attn_step(q, kp, vp):
         c = kvcache.PagedKVCache(k_pages=kp, v_pages=vp, page_size=page_size)
         out = step_mod._paged_attention(
-            spec, c, 0, q, table[None], pos2d
+            spec, c, 0, q, table[:1], pos2d
         )
         return q + out[..., :1, :1, :1] * 0.0
 
@@ -135,7 +144,7 @@ def main() -> None:
     def write_step(carry):
         kp, vp, kv = carry
         c = kvcache.PagedKVCache(k_pages=kp, v_pages=vp, page_size=page_size)
-        c = kvcache.write_chunk(c, 0, chunk_pages, kv, kv)
+        c = kvcache.write_chunk(c, 0, chunk_pages[0], kv, kv)
         return (c.k_pages, c.v_pages,
                 kv + c.k_pages[0, 0, 0].astype(kv.dtype) * 0.0)
 

@@ -94,6 +94,10 @@ def build_fake_params(spec, quant: str, key):
 
 
 def main() -> None:
+    # probes compile the same graphs the engine does: reuse its
+    # persistent compile cache so re-runs skip the minutes-long build
+    from caesar_tpu.engine.engine import _enable_persistent_compile_cache
+    _enable_persistent_compile_cache()
     import jax
     import jax.numpy as jnp
 
