@@ -372,11 +372,14 @@ def decode_steps(
     use_kernel selects the Pallas paged-attention path (single-device TPU);
     the XLA gather path serves CPU tests and GSPMD-sharded meshes.
     """
+    # Pallas on CPU (CAESAR_FORCE_PAGED_KERNEL tests) must run interpreted
+    interpret = jax.default_backend() != "tpu"
 
     def body(carry, _):
         cache, state = carry
         cache, state, emitted = _decode_one(
-            spec, params, cache, state, eos_id, use_kernel
+            spec, params, cache, state, eos_id, use_kernel,
+            interpret=interpret,
         )
         return (cache, state), emitted
 

@@ -395,36 +395,44 @@ def quant_matmul_pallas(x: jax.Array, w, tp_axis=None) -> jax.Array:
     from caesar_tpu.engine.quant import dequantize, quantize_activations
 
     k, n, group = _local_dims(w)
+    leading = x.shape[:-1]
+    interpret = jax.default_backend() != "tpu"
+
+    if w.act == "int8" and w.bits == 8 and k % group == 0:
+        # w8a8 picks tiles with its own search (per-column scales free bk
+        # from the group-multiple constraint _tiles_for imposes — gating on
+        # _tiles_for here silently sent the per-column serving default to
+        # the XLA fallback, the round-2 VERDICT's #1 perf gap)
+        x2 = x.reshape(-1, k).astype(jnp.bfloat16)
+        m = x2.shape[0]
+        m_pad = -m % 32  # int8 min sublane tile is 32
+        tiles8 = _pick_tiles_w8a8(m + m_pad, k, n, group)
+        if tiles8 is not None:
+            if m_pad:
+                x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
+            bk, bn = tiles8
+            xq, xs = quantize_activations(x2, tp_axis)
+            out = _w8a8_matmul(
+                xq, w.qweight, w.scales, group, k, n, bk, bn, interpret
+            )
+            out = out * xs[:, None]  # per-token rescale (fused by XLA)
+            if m_pad:
+                out = out[:m]
+            return out.reshape(*leading, n)
+
     tiles = _tiles_for(w) if k % group == 0 else None
     if tiles is None:
         wf = dequantize(w, dtype=jnp.bfloat16)
         return jnp.dot(x, wf, preferred_element_type=jnp.float32)
     bk, bn = tiles
 
-    leading = x.shape[:-1]
     x2 = x.reshape(-1, k).astype(jnp.bfloat16)
     m = x2.shape[0]
-
-    interpret = jax.default_backend() != "tpu"
-    if w.act == "int8" and w.bits == 8:
-        # int8 min sublane tile is 32: pad M accordingly
-        m_pad = -m % 32
-        if m_pad:
-            x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
-        tiles8 = _pick_tiles_w8a8(x2.shape[0], k, n, group)
-        if tiles8 is not None:
-            bk, bn = tiles8
-        xq, xs = quantize_activations(x2, tp_axis)
-        out = _w8a8_matmul(
-            xq, w.qweight, w.scales, group, k, n, bk, bn, interpret
-        )
-        out = out * xs[:, None]  # per-token rescale (fused by XLA)
-    else:
-        m_pad = -m % M_ALIGN
-        if m_pad:
-            x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
-        fn = _int8_matmul if w.bits == 8 else _int4_matmul
-        out = fn(x2, w.qweight, w.scales, group, k, n, bk, bn, interpret)
+    m_pad = -m % M_ALIGN
+    if m_pad:
+        x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
+    fn = _int8_matmul if w.bits == 8 else _int4_matmul
+    out = fn(x2, w.qweight, w.scales, group, k, n, bk, bn, interpret)
     if m_pad:
         out = out[:m]
     return out.reshape(*leading, n)

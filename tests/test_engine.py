@@ -319,3 +319,178 @@ def test_engine_w8a8_tp2_matches_single_device(tiny_params):
         assert got.text == expected.text
     finally:
         sharded.close()
+
+
+# ----------------------------------------------------------------------
+# BASELINE config 4: INT4 weights + FP8 KV (+ TP) through the Engine
+# ----------------------------------------------------------------------
+
+def _reference_greedy_params(spec, params, prompt_ids, max_new, eos_id):
+    """Full-forward argmax over ARBITRARY (possibly quantized) params —
+    model.linear dispatches QuantizedLinear through the same
+    quantized_matmul the engine serves with, so this is the exact
+    dequantized-XLA-path reference for int4/int8 engines."""
+    tokens = list(prompt_ids)
+    out = []
+    for _ in range(max_new):
+        logits = forward_cacheless(
+            spec, params, jnp.asarray([tokens], dtype=jnp.int32)
+        )
+        nxt = int(np.argmax(np.asarray(logits[0, -1])))
+        if nxt == eos_id:
+            break
+        out.append(nxt)
+        tokens.append(nxt)
+    return out
+
+
+def test_engine_int4_greedy_matches_dequantized_reference(tiny_params):
+    """Engine(quant=int4) paged prefill+decode is token-identical to a naive
+    full-forward over the SAME int4-quantized params (BASELINE config 4's
+    weight path; VERDICT r2 item 3)."""
+    from caesar_tpu.engine.quant import quantize_params
+    from caesar_tpu.engine.weights import resolve_quant_group
+
+    tok = ByteTokenizer()
+    prompt = "int4 serving parity check"
+    q4 = quantize_params(
+        tiny_params, bits=4,
+        group=resolve_quant_group("int4", -1),
+    )
+    expected = _reference_greedy_params(
+        TINY, q4, tok.encode(prompt), 10, tok.eos_id
+    )
+
+    engine = make_engine(tiny_params, quant="int4")
+    try:
+        assert engine.params["layers"][0]["wqkv"].bits == 4
+        result = engine.generate_sync(greedy_request(prompt, max_tokens=10))
+        assert result.text == tok.decode(expected)
+    finally:
+        engine.close()
+
+
+def test_engine_int4_tp2_matches_single_device(tiny_params):
+    """INT4 under TP=2: row-parallel shards of the nibble-packed weight
+    (exercising plan._refine_group's scale-row refinement) must be
+    token-identical to single-device int4."""
+    from caesar_tpu.parallel.plan import make_mesh
+
+    single = make_engine(tiny_params, quant="int4")
+    try:
+        expected = single.generate_sync(greedy_request("int4 parallel", 8))
+    finally:
+        single.close()
+
+    sharded = Engine(
+        tiny_econf(quant="int4", tp=2),
+        spec=TINY, params=tiny_params, tokenizer=ByteTokenizer(),
+        decode_steps=4, mesh=make_mesh(2),
+    )
+    try:
+        down = sharded.params["layers"][0]["mlp"]["down"]
+        assert down.bits == 4
+        # tiny hidden=128, group 128 -> one scale row; TP=2 row-sharding
+        # must have refined it to per-shard rows
+        assert down.group < 128
+        got = sharded.generate_sync(greedy_request("int4 parallel", 8))
+        assert got.text == expected.text
+    finally:
+        sharded.close()
+
+
+def test_engine_config4_int4_fp8_tp2_matches_single_device(tiny_params):
+    """The BASELINE config-4 combination — INT4 weights + FP8 KV + tensor
+    parallelism — served end-to-end: TP=2 output token-identical to the
+    single-device int4+fp8 engine."""
+    from caesar_tpu.parallel.plan import make_mesh
+
+    single = make_engine(tiny_params, quant="int4", kv_quant="fp8")
+    try:
+        expected = single.generate_sync(
+            greedy_request("config four: int4 weights, fp8 kv", 10)
+        )
+        assert expected.token_usage["completion_tokens"] >= 1
+    finally:
+        single.close()
+
+    sharded = Engine(
+        tiny_econf(quant="int4", kv_quant="fp8", tp=2),
+        spec=TINY, params=tiny_params, tokenizer=ByteTokenizer(),
+        decode_steps=4, mesh=make_mesh(2),
+    )
+    try:
+        assert str(sharded.cache.k_pages.dtype) == "float8_e4m3fn"
+        got = sharded.generate_sync(
+            greedy_request("config four: int4 weights, fp8 kv", 10)
+        )
+        assert got.text == expected.text
+    finally:
+        sharded.close()
+
+
+def test_engine_fp8_kv_bitop_decode_matches_xla_upcast(monkeypatch):
+    """FP8 KV regression pin: the Pallas bit-op e4m3 decode path and the
+    plain XLA upcast path read the SAME stored fp8 bytes, so the engine's
+    greedy output must be byte-identical between them — any error in the
+    bit-op expansion (sign/exponent/mantissa reassembly) flips tokens
+    immediately.  (Exact parity vs f32 KV is not expected on a tiny
+    random-init model: e4m3 carries ~2 decimal digits and the tiny model's
+    argmax margins are ~1e-2.)  Needs the head_dim-128 spec — the kernel's
+    Mosaic lane constraint."""
+    from caesar_tpu.engine.model import ModelSpec
+
+    spec = ModelSpec(
+        "kernel-tiny", vocab=512, dim=64, n_layers=2, n_heads=4,
+        n_kv_heads=2, head_dim=128, hidden=128, rope_theta=1e4,
+        tie_embeddings=True,
+    )
+    params = init_params(spec, seed=0, dtype=jnp.float32)
+    prompts = [
+        "fp8 kv parity beta block " * 3, "zzz " * 10,
+        "paged attention rocks", "0123456789", "fp8 exactness",
+    ]
+
+    def run(force_kernel):
+        if force_kernel:
+            monkeypatch.setenv("CAESAR_FORCE_PAGED_KERNEL", "1")
+        else:
+            monkeypatch.delenv("CAESAR_FORCE_PAGED_KERNEL", raising=False)
+        eng = Engine(
+            tiny_econf(kv_quant="fp8"), spec=spec, params=params,
+            tokenizer=ByteTokenizer(), decode_steps=4,
+        )
+        try:
+            assert eng._use_paged_kernel == force_kernel
+            return [
+                eng.generate_sync(greedy_request(p, max_tokens=8)).text
+                for p in prompts
+            ]
+        finally:
+            eng.close()
+
+    xla = run(False)
+    kernel = run(True)
+    assert kernel == xla
+    assert all(t for t in xla)  # every prompt produced tokens
+
+
+def test_engine_fp8_kv_chunking_invariance(tiny_params):
+    """FP8 KV output must be invariant to prefill chunk size and decode
+    chunk length — the paged fp8 write path (chunk vs token writes) stores
+    identical bytes either way."""
+    outs = []
+    for chunk, steps in ((32, 4), (64, 2)):
+        eng = make_engine(
+            tiny_params, kv_quant="fp8", prefill_chunk=chunk,
+            decode_steps=steps,
+        )
+        try:
+            outs.append(
+                eng.generate_sync(
+                    greedy_request("fp8 chunk invariance " * 4, 12)
+                ).text
+            )
+        finally:
+            eng.close()
+    assert outs[0] == outs[1]

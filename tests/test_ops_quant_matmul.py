@@ -145,3 +145,31 @@ def test_kernel_large_int_values_roundtrip(bits):
     x = jnp.asarray(np.eye(8, k, dtype=np.float32))
     got = np.asarray(quant_matmul_pallas(x, q))
     np.testing.assert_allclose(got, w[:8], atol=0.2)
+
+
+def test_w8a8_percolumn_routes_to_kernel(monkeypatch):
+    """Regression (round-2 perf gap): per-column w8a8 must reach the Pallas
+    kernel — _tiles_for's group-multiple constraint can never be met when
+    group == k, and gating on it sent the serving default to the XLA
+    dequant fallback."""
+    import numpy as np
+    from caesar_tpu.ops import quant_matmul as qm
+    from caesar_tpu.engine.quant import quantize_weight
+
+    q = quantize_weight(
+        np.random.default_rng(0).standard_normal((256, 256)).astype("f"),
+        8, group=0, act="int8",
+    )
+    calls = []
+    orig = qm._w8a8_matmul
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(qm, "_w8a8_matmul", spy)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((4, 256)), jnp.bfloat16
+    )
+    qm.quant_matmul_pallas(x, q)
+    assert calls, "per-column w8a8 fell back off the kernel path"
