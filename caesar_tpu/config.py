@@ -51,7 +51,8 @@ class EngineConfig:
     #: to a HF checkpoint directory with config.json + *.safetensors
     model: str = "qwen2.5-coder-1.5b"
     #: weight quantization: bf16 | int8 | w8a8 (int8 weights + runtime
-    #: int8 activations, native int8 MXU) | int4
+    #: int8 activations, native int8 MXU) | int4 | w4a8 (int4 weights +
+    #: runtime int8 activations — int4's HBM halving at w8a8's MXU rate)
     quant: str = "bf16"
     #: weight-scale group size: -1 auto (w8a8 -> per-column, weight-only ->
     #: 128), 0 per-column, else tokens per scale group
@@ -212,7 +213,7 @@ class RunConfig:
             raise ValueError(f"Bad backend {self.backend!r}")
         if self.eval_backend not in ("mock", "jax", "torch_cpu"):
             raise ValueError(f"Bad eval_backend {self.eval_backend!r}")
-        if self.engine.quant not in ("bf16", "int8", "w8a8", "int4"):
+        if self.engine.quant not in ("bf16", "int8", "w8a8", "int4", "w4a8"):
             raise ValueError(f"Bad engine.quant {self.engine.quant!r}")
         if self.engine.kv_quant not in ("bf16", "fp8", "f32"):
             raise ValueError(f"Bad engine.kv_quant {self.engine.kv_quant!r}")

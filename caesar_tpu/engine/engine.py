@@ -179,16 +179,16 @@ class Engine:
                 quant=econf.quant,
                 quant_group=econf.quant_group,
             )
-        elif econf.quant in ("int8", "w8a8", "int4") and not isinstance(
+        elif econf.quant in ("int8", "w8a8", "int4", "w4a8") and not isinstance(
             params["layers"][0]["wq"], QuantizedLinear
         ):
             from caesar_tpu.engine.weights import resolve_quant_group
 
             params = quantize_params(
                 params,
-                bits=4 if econf.quant == "int4" else 8,
+                bits=4 if econf.quant in ("int4", "w4a8") else 8,
                 group=resolve_quant_group(econf.quant, econf.quant_group),
-                act="int8" if econf.quant == "w8a8" else "none",
+                act="int8" if econf.quant in ("w8a8", "w4a8") else "none",
             )
         self.spec = spec
         self.mesh = mesh

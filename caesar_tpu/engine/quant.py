@@ -63,12 +63,23 @@ class QuantizedLinear:
     in_features: int
     act: str = "none"
 
+    @property
+    def w4a8(self) -> bool:
+        """bits=4 + int8 activations in the column-planar biased packing
+        (see quantize_weight): qweight [in, out//2], scales
+        [groups, 2, out//2].  Detected by the 3D scales — tiny models whose
+        out dims can't planarize (out % 64 != 0 anywhere in the tree) keep
+        the row-interleaved packing and serve through the XLA
+        int8-activation path."""
+        return self.bits == 4 and self.act == "int8" and self.scales.ndim == 3
+
 
 def quantize_weight(
     w: jax.Array | np.ndarray,
     bits: Literal[4, 8],
     group: int = DEFAULT_GROUP,
     act: str = "none",
+    planar: bool | None = None,
 ) -> QuantizedLinear:
     """Symmetric per-group quantization of an [in, out] weight.
 
@@ -99,7 +110,31 @@ def quantize_weight(
     ).astype(np.int8)
     q = q.reshape(d_in, d_out)
 
-    if bits == 4:
+    if planar is None:
+        planar = d_out % 64 == 0
+    if bits == 4 and act == "int8" and planar and d_out % 64 == 0:
+        # w4a8: COLUMN-planar biased packing.  A byte at [k, 32*b + o]
+        # (o < 32) holds columns 64*b + o (low nibble) and 64*b + 32 + o
+        # (high nibble) of true column-block b, each stored BIASED by +8
+        # (0..15).  Why this layout, vs the row-interleaved packing below:
+        #   * full-K unpacked planes -> the kernel's int8 MXU dots contract
+        #     over the whole 128-wide group (no split-stream half dots);
+        #   * biased nibbles unpack with 2 bit ops (&0xF / >>4), no
+        #     sign-extension chain — the bias is linear, so the kernel
+        #     subtracts 8 * group-rowsum(x) from each int32 group sum;
+        #   * pairing columns 32 apart WITHIN a 64 block keeps any column
+        #     shard at 64-true-col granularity self-contained — packed
+        #     cols [p0:p1] are exactly true cols [2p0:2p1] (every
+        #     supported shape shards at >= 64: hidden 18944 / tp8 = 2368).
+        # Scales are stored planar [groups, 2, out//2] to match.
+        qb = (q + 8).astype(np.uint8)  # 0..15
+        blocks = qb.reshape(d_in, d_out // 64, 2, 32)
+        q = (blocks[:, :, 0, :] | (blocks[:, :, 1, :] << 4)).astype(
+            np.int8
+        ).reshape(d_in, d_out // 2)
+        s_pl = scales.reshape(-1, d_out // 64, 2, 32).transpose(0, 2, 1, 3)
+        scales = np.ascontiguousarray(s_pl).reshape(-1, 2, d_out // 2)
+    elif bits == 4:
         if d_in % 2 != 0:
             raise ValueError("int4 packing needs even in dim")
         low = q[0::2].astype(np.uint8) & 0x0F
@@ -158,11 +193,35 @@ def _unpack_int4(packed: jax.Array, in_features: int) -> jax.Array:
     return interleaved.reshape(in_features, packed.shape[-1])
 
 
+def _unpack_w4a8(packed: jax.Array) -> jax.Array:
+    """Column-planar biased [in, out//2] -> [in, out] int8 in TRUE column
+    order (reference/fallback path only; the kernel consumes planes)."""
+    k, half = packed.shape
+    u = packed.astype(jnp.uint8)
+    lo = (u & 0x0F).astype(jnp.int8) - 8  # [k, half]
+    hi = ((u >> 4) & 0x0F).astype(jnp.int8) - 8
+    # packed col 32b+o -> true cols (64b+o, 64b+32+o)
+    lo = lo.reshape(k, half // 32, 1, 32)
+    hi = hi.reshape(k, half // 32, 1, 32)
+    return jnp.concatenate([lo, hi], axis=2).reshape(k, 2 * half)
+
+
+def _unplanarize_scales(scales: jax.Array) -> jax.Array:
+    """w4a8 planar scales [groups, 2, out//2] -> TRUE order [groups, out]."""
+    g, _, half = scales.shape
+    s = scales.reshape(g, 2, half // 32, 32)
+    return jnp.swapaxes(s, 1, 2).reshape(g, 2 * half)
+
+
 def local_dims(w: QuantizedLinear) -> Tuple[int, int, int]:
     """(in, out, group) from the ARRAY shapes — inside shard_map the leaves
     are per-shard slices while in/out_features metadata stays global."""
-    k = w.qweight.shape[0] * (2 if w.bits == 4 else 1)
-    n = w.qweight.shape[1]
+    if w.w4a8:
+        k = w.qweight.shape[0]
+        n = w.qweight.shape[1] * 2
+    else:
+        k = w.qweight.shape[0] * (2 if w.bits == 4 else 1)
+        n = w.qweight.shape[1]
     return k, n, k // w.scales.shape[0]
 
 
@@ -170,9 +229,14 @@ def dequantize(w: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
     """Materialize the bf16 weight (reference/fallback path; the Pallas
     kernel dequantizes in VMEM instead)."""
     k, n, group = local_dims(w)
-    q = w.qweight if w.bits == 8 else _unpack_int4(w.qweight, k)
+    if w.w4a8:
+        q = _unpack_w4a8(w.qweight)
+        scales = _unplanarize_scales(w.scales)
+    else:
+        q = w.qweight if w.bits == 8 else _unpack_int4(w.qweight, k)
+        scales = w.scales
     grouped = q.reshape(k // group, group, n)
-    scaled = grouped.astype(jnp.float32) * w.scales.astype(jnp.float32)[:, None, :]
+    scaled = grouped.astype(jnp.float32) * scales.astype(jnp.float32)[:, None, :]
     return scaled.reshape(k, n).astype(dtype)
 
 
@@ -218,13 +282,18 @@ def _w8a8_matmul_xla(
     k, n, group = local_dims(w)
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
-    qw = w.qweight if w.bits == 8 else _unpack_int4(w.qweight, k)
+    if w.w4a8:
+        qw = _unpack_w4a8(w.qweight)
+        scales = _unplanarize_scales(w.scales)
+    else:
+        qw = w.qweight if w.bits == 8 else _unpack_int4(w.qweight, k)
+        scales = w.scales
     xq, xs = quantize_activations(x2, tp_axis)  # [M, K] i8, [M] f32
     g = k // group
     xg = xq.reshape(m, g, group).astype(jnp.float32)
     wg = qw.reshape(g, group, n).astype(jnp.float32)
     ig = jnp.einsum("mgk,gkn->mgn", xg, wg)  # exact int math in f32
-    out = jnp.sum(ig * w.scales.astype(jnp.float32)[None], axis=1)
+    out = jnp.sum(ig * scales.astype(jnp.float32)[None], axis=1)
     out = out * xs[:, None]
     return out.reshape(*leading, n)
 
@@ -237,14 +306,30 @@ def quantize_params(
 ):
     """Quantize every linear weight of a model params tree (embeddings and
     norms stay bf16, matching weight-only serving practice)."""
+    # w4a8 planarity is a PER-MODEL decision: fuse_params concatenates
+    # wq/wk/wv (and gate/up), so mixing planar and row-interleaved parts
+    # in one tree is illegal — planar only when every out dim allows it
+    planar = bits == 4 and act == "int8" and all(
+        layer[key].shape[1] % 64 == 0
+        for layer in params["layers"]
+        for key in ("wq", "wk", "wv", "wo")
+    ) and all(
+        layer["mlp"][key].shape[1] % 64 == 0
+        for layer in params["layers"]
+        for key in ("gate", "up", "down")
+    )
     quantized_layers = []
     for layer in params["layers"]:
         new_layer = dict(layer)
         for key in ("wq", "wk", "wv", "wo"):
-            new_layer[key] = quantize_weight(layer[key], bits, group, act)
+            new_layer[key] = quantize_weight(
+                layer[key], bits, group, act, planar=planar
+            )
         new_mlp = dict(layer["mlp"])
         for key in ("gate", "up", "down"):
-            new_mlp[key] = quantize_weight(layer["mlp"][key], bits, group, act)
+            new_mlp[key] = quantize_weight(
+                layer["mlp"][key], bits, group, act, planar=planar
+            )
         new_layer["mlp"] = new_mlp
         quantized_layers.append(new_layer)
     out = dict(params)
@@ -258,9 +343,13 @@ def _concat_out(parts):
         bits = parts[0].bits
         group = parts[0].group
         assert all(p.bits == bits and p.group == group for p in parts)
+        # w4a8 planar concat is exact: packed-col blocks map positionally
+        # to true-col blocks, so concatenating packed cols (and the planar
+        # scales' last axis) IS the true-order concat
+        s_axis = parts[0].scales.ndim - 1
         return QuantizedLinear(
             qweight=jnp.concatenate([p.qweight for p in parts], axis=1),
-            scales=jnp.concatenate([p.scales for p in parts], axis=1),
+            scales=jnp.concatenate([p.scales for p in parts], axis=s_axis),
             bits=bits,
             group=group,
             out_features=sum(p.out_features for p in parts),

@@ -33,6 +33,7 @@ def init_params(
     dtype=jnp.bfloat16,
     quant_bits: Optional[int] = None,
     quant_group: int = 128,
+    act: str = "none",
 ) -> dict:
     """Seeded random params with 1/sqrt(fan_in) scaling.
 
@@ -51,7 +52,14 @@ def init_params(
         w = rng.standard_normal((d_in, d_out), dtype=np.float32)
         w *= 1.0 / np.sqrt(d_in)
         if quant_bits is not None:
-            return quantize_weight(w, bits=quant_bits, group=quant_group)
+            # planarity is per-model (see quantize_params): uniform across
+            # the tree so fuse_params can concat wq/wk/wv and gate/up
+            planar = act == "int8" and all(
+                d % 64 == 0
+                for d in (spec.q_dim, spec.kv_dim, spec.dim, spec.hidden)
+            )
+            return quantize_weight(w, bits=quant_bits, group=quant_group,
+                                   act=act, planar=planar)
         return jnp.asarray(w, dtype=dtype)
 
     def vec(d: int, value: float = 1.0) -> jax.Array:
@@ -101,6 +109,7 @@ def init_params_device(
     quant_bits: int = 8,
     quant_group: int = 128,
     dtype=jnp.bfloat16,
+    act: str = "none",
 ) -> dict:
     """Random quantized params generated AND quantized on device.
 
@@ -135,14 +144,31 @@ def init_params_device(
         q = jnp.clip(
             jnp.round(grouped / scales[:, None, :]), -qmax, qmax
         ).astype(jnp.int8).reshape(d_in, d_out)
-        if quant_bits == 4:
+        scales = scales.astype(jnp.bfloat16)
+        planar = act == "int8" and all(
+            d % 64 == 0
+            for d in (spec.q_dim, spec.kv_dim, spec.dim, spec.hidden)
+        )
+        if quant_bits == 4 and act == "int8" and planar:
+            # w4a8 column-planar biased packing (see quant.quantize_weight)
+            qb = (q + 8).astype(jnp.uint8)
+            blocks = qb.reshape(d_in, d_out // 64, 2, 32)
+            q = (
+                blocks[:, :, 0, :] | (blocks[:, :, 1, :] << 4)
+            ).astype(jnp.int8).reshape(d_in, d_out // 2)
+            scales = (
+                scales.reshape(-1, d_out // 64, 2, 32)
+                .transpose(0, 2, 1, 3)
+                .reshape(-1, 2, d_out // 2)
+            )
+        elif quant_bits == 4:
             low = q[0::2].astype(jnp.uint8) & 0x0F
             high = (q[1::2].astype(jnp.uint8) & 0x0F) << 4
             q = (low | high).astype(jnp.int8)
         return QuantizedLinear(
-            qweight=q, scales=scales.astype(jnp.bfloat16),
+            qweight=q, scales=scales,
             bits=quant_bits, group=group,
-            out_features=d_out, in_features=d_in,
+            out_features=d_out, in_features=d_in, act=act,
         )
 
     def vec(d: int) -> jax.Array:
@@ -290,7 +316,9 @@ def load_hf_checkpoint(
     return spec, params
 
 
-def _maybe_quantize_head(spec: ModelSpec, params: dict, quant_bits) -> dict:
+def _maybe_quantize_head(
+    spec: ModelSpec, params: dict, quant_bits, act: str = "none"
+) -> dict:
     """Quantize the untied lm head (it is read whole every decode step —
     e.g. 1.1 GB bf16 at 7B — so weight-only quant applies to it too)."""
     from caesar_tpu.engine.quant import quantize_weight
@@ -301,7 +329,7 @@ def _maybe_quantize_head(spec: ModelSpec, params: dict, quant_bits) -> dict:
     if w.shape[1] % 256 == 0:  # kernel-tileable vocab
         params = dict(params)
         params["unembed"] = quantize_weight(
-            np.asarray(w, dtype=np.float32), bits=quant_bits
+            np.asarray(w, dtype=np.float32), bits=quant_bits, act=act
         )
     return params
 
@@ -466,6 +494,8 @@ def resolve_quant_group(quant: str, quant_group: int = -1) -> int:
     quality headroom)."""
     if quant_group >= 0:
         return quant_group
+    # w8a8 per-column; w4a8 keeps 128 groups (int4 quality needs them —
+    # the w4a8 kernel rescales int32 GROUP sums, so groups stay cheap)
     return 0 if quant == "w8a8" else 128
 
 
@@ -484,8 +514,14 @@ def load_model(
     quantizes activations at runtime so the MXU runs native int8 (see
     ops/quant_matmul._w8a8_kernel).  quant_group: -1 auto, 0 per-column,
     else the scale group size (see resolve_quant_group)."""
-    quant_bits = {"bf16": None, "int8": 8, "w8a8": 8, "int4": 4}[quant]
-    act = "int8" if quant == "w8a8" else "none"
+    quant_bits = {
+        "bf16": None, "int8": 8, "w8a8": 8, "int4": 4, "w4a8": 4,
+    }[quant]
+    act = "int8" if quant in ("w8a8", "w4a8") else "none"
+    # w4a8's act changes the PACKING (column-planar biased, see
+    # quant.quantize_weight), so it must reach the quantizers; w8a8 shares
+    # the int8 weight format and the tag is runtime-only.
+    pack_act = act if quant == "w4a8" else "none"
     group = resolve_quant_group(quant, quant_group)
 
     def tag(params):
@@ -496,8 +532,12 @@ def load_model(
         if quant_bits is not None:
             from caesar_tpu.engine.quant import quantize_params
 
-            params = quantize_params(params, bits=quant_bits, group=group)
-            params = _maybe_quantize_head(spec, params, quant_bits)
+            params = quantize_params(
+                params, bits=quant_bits, group=group, act=pack_act
+            )
+            params = _maybe_quantize_head(
+                spec, params, quant_bits, act=pack_act
+            )
         return spec, tag(params)
     spec = MODEL_PRESETS.get(model)
     if spec is None:
@@ -516,7 +556,8 @@ def load_model(
         try:
             return spec, tag(
                 init_params_device(spec, seed=seed, quant_bits=quant_bits,
-                                   quant_group=group, dtype=dtype)
+                                   quant_group=group, dtype=dtype,
+                                   act=pack_act)
             )
         except Exception:
             pass  # fall through to the host path + cache
@@ -530,8 +571,8 @@ def load_model(
         except Exception:
             pass  # fall through to regeneration
     params = init_params(spec, seed=seed, dtype=dtype, quant_bits=quant_bits,
-                         quant_group=group)
-    params = _maybe_quantize_head(spec, params, quant_bits)
+                         quant_group=group, act=pack_act)
+    params = _maybe_quantize_head(spec, params, quant_bits, act=pack_act)
     if cache_path is not None:
         try:
             _save_params_cache(cache_path, params)

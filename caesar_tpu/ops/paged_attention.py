@@ -195,10 +195,11 @@ def _kernel(
     n_blocks = _n_blocks(b)  # traced loop bound
     scale = 1.0 / (hd ** 0.5)
 
-    def body(j, carry):
-        m_prev, l_prev, acc_prev = carry
+    def consume_block(j):
+        """Wait for block j's tiles, refill the freed slot, return (k, v)
+        upcast to f32 (one whole-tile VPU op — per-head strided slices of
+        raw bf16 tiles measured 8x slower: Mosaic relayouts dominate)."""
         slot = jax.lax.rem(g_base + j, DEPTH)
-
         wait_block(b, j, slot)
         k = _upcast_kv(k_buf[slot])  # [block, n_kv, hd] f32
         v = _upcast_kv(v_buf[slot])
@@ -216,9 +217,11 @@ def _kernel(
         nxt = _advance(pf_i, pf_j)
         cur[1] = jnp.where(pf_i < n_seqs, nxt[0], pf_i)
         cur[2] = jnp.where(pf_i < n_seqs, nxt[1], pf_j)
+        return k, v
 
-        # scores [n_kv, group, block] — per-kv-head matmuls, statically
-        # unrolled (Mosaic's tpu.matmul has no batch dims)
+    def block_update(k, v, j):
+        """Masked scores + flash pieces for block j: returns
+        (m [n_kv, group], p [n_kv, group, block], pv [n_kv, group, hd])."""
         scores = jnp.stack(
             [
                 jax.lax.dot_general(
@@ -230,19 +233,13 @@ def _kernel(
                 for h in range(n_kv)
             ]
         ) * scale
-
         token_pos = j * block + jax.lax.broadcasted_iota(
             jnp.int32, (n_kv, group, block), dimension=2
         )
-        scores = jnp.where(token_pos <= q_pos, scores, NEG_INF)
+        return jnp.where(token_pos <= q_pos, scores, NEG_INF)
 
-        m_cur = jnp.max(scores, axis=-1)  # [n_kv, group]
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(scores - m_new[..., None])  # [n_kv, group, block]
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
-        # pv [n_kv, group, hd] — per-kv-head matmuls as above
-        pv = jnp.stack(
+    def block_pv(p, v):
+        return jnp.stack(
             [
                 jax.lax.dot_general(
                     p[h],  # [group, block]
@@ -253,13 +250,29 @@ def _kernel(
                 for h in range(n_kv)
             ]
         )
-        acc_new = acc_prev * alpha[..., None] + pv
+
+    # --- peeled block 0 (every live sequence has one): with m_prev = -inf
+    # the alpha-rescale chain is the identity, so the dominant 1-2 block
+    # decode contexts pay no carry bookkeeping at all ---------------------
+    k, v = consume_block(0)
+    scores = block_update(k, v, 0)
+    m0 = jnp.max(scores, axis=-1)  # [n_kv, group]
+    p = jnp.exp(scores - m0[..., None])
+    l0 = jnp.sum(p, axis=-1)
+    acc0 = block_pv(p, v)
+
+    def body(j, carry):
+        m_prev, l_prev, acc_prev = carry
+        k, v = consume_block(j)
+        scores = block_update(k, v, j)
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new[..., None])
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        acc_new = acc_prev * alpha[..., None] + block_pv(p, v)
         return m_new, l_new, acc_new
 
-    m0 = jnp.full((n_kv, group), NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((n_kv, group), dtype=jnp.float32)
-    acc0 = jnp.zeros((n_kv, group, hd), dtype=jnp.float32)
-    _m, l_fin, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    _m, l_fin, acc = jax.lax.fori_loop(1, n_blocks, body, (m0, l0, acc0))
 
     cur[0] = g_base + n_blocks
     out_ref[0] = (acc / l_fin[..., None]).astype(out_ref.dtype)

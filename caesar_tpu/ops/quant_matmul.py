@@ -213,6 +213,163 @@ def _w8a8_kernel(xq_ref, qw_ref, s_ref, out_ref):
     out_ref[:] += acc
 
 
+@functools.lru_cache(maxsize=None)
+def _pick_tiles_w4a8(
+    m: int, k: int, n: int, group: int
+) -> Optional[Tuple[int, int]]:
+    """(bk, bnp) for the w4a8 kernel: bnp tiles the PACKED column dim n//2.
+
+    VMEM working set: double-buffered packed tile + the unpacked lo/hi
+    int8 planes + activations + the [2, m, bnp] f32 out tile."""
+    half = n // 2
+
+    def fits(bk, bnp):
+        vmem = (
+            2 * bk * bnp  # packed bytes, double-buffered
+            + 2 * bk * bnp  # lo + hi unpacked planes
+            + 2 * m * bk  # int8 activations
+            + 2 * 2 * m * bnp * 4  # out tile (+ percol int32 scratch)
+            + 4 * max(bk // group, 1) * bnp  # planar scales
+        )
+        return vmem <= _VMEM_BUDGET
+
+    bk_step = group if group < k else 128
+    best, best_key = None, None
+    for bnp in _divisors_mult(half, 128, 8192):
+        for bk in _divisors_mult(k, bk_step, 32768):
+            if not fits(bk, bnp):
+                continue
+            key = (bk * bnp, bk)
+            if best_key is None or key > best_key:
+                best_key, best = key, (bk, bnp)
+    return best
+
+
+def _unpack_biased(qw_ref):
+    """Packed biased nibbles [bk, bnp] -> (lo, hi) int8 planes, 0..15.
+
+    The entire per-byte VPU cost of w4a8: one mask and one shift (the +8
+    bias removed the sign-extension compare/select chain; its correction
+    is linear and rides the rs_ref group rowsums)."""
+    u = qw_ref[:].astype(jnp.int32) & 0xFF
+    lo = (u & 0x0F).astype(jnp.int8)
+    hi = (u >> 4).astype(jnp.int8)
+    return lo, hi
+
+
+def _w4a8_kernel(xq_ref, rs_ref, qw_ref, s_ref, out_ref):
+    """Grouped w4a8: full-K int8 MXU dots on biased nibble planes.
+
+    xq  [M, BK] int8            — per-token quantized activations
+    rs  [M, BK/group] f32       — 8 * per-group activation rowsums (the
+                                  bias correction: dot(x, w+8) - 8*sum(x))
+    qw  [BK, BNP] int8          — column-planar packed bytes
+    s   [BK/group, 2, BNP] bf16 — planar weight scales (lo, hi planes)
+    out [2, M, BNP] f32         — planar output (caller unpermutes)
+    """
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    lo, hi = _unpack_biased(qw_ref)
+    groups = s_ref.shape[0]
+    group = qw_ref.shape[0] // groups
+    acc_lo = jnp.zeros_like(out_ref[0])
+    acc_hi = jnp.zeros_like(out_ref[0])
+    for g in range(groups):  # static unroll (BK/group is small)
+        sl = pl.ds(g * group, group)
+        xg = xq_ref[:, sl]
+        ig_lo = jnp.dot(xg, lo[g * group:(g + 1) * group],
+                        preferred_element_type=jnp.int32)
+        ig_hi = jnp.dot(xg, hi[g * group:(g + 1) * group],
+                        preferred_element_type=jnp.int32)
+        rsg = rs_ref[:, g][:, None]  # [M, 1] f32
+        slo = s_ref[g, 0, :].astype(jnp.float32)[None, :]
+        shi = s_ref[g, 1, :].astype(jnp.float32)[None, :]
+        acc_lo += (ig_lo.astype(jnp.float32) - rsg) * slo
+        acc_hi += (ig_hi.astype(jnp.float32) - rsg) * shi
+    out_ref[0] += acc_lo
+    out_ref[1] += acc_hi
+
+
+def _w4a8_percol_kernel(
+    xq_ref, rs_ref, qw_ref, s_ref, out_ref, alo_ref, ahi_ref
+):
+    """Per-column-scale w4a8: raw int32 accumulation across K tiles (exact:
+    K * 127 * 15 < 2^31 for every supported K), one rescale at the end."""
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        alo_ref[:] = jnp.zeros_like(alo_ref)
+        ahi_ref[:] = jnp.zeros_like(ahi_ref)
+
+    lo, hi = _unpack_biased(qw_ref)
+    alo_ref[:] += jnp.dot(xq_ref[:], lo, preferred_element_type=jnp.int32)
+    ahi_ref[:] += jnp.dot(xq_ref[:], hi, preferred_element_type=jnp.int32)
+
+    @pl.when(k_idx == pl.num_programs(1) - 1)
+    def _():
+        rs = rs_ref[:, 0][:, None]  # [M, 1] f32: 8 * full-K rowsum
+        slo = s_ref[0, 0, :].astype(jnp.float32)[None, :]
+        shi = s_ref[0, 1, :].astype(jnp.float32)[None, :]
+        out_ref[0] = (alo_ref[:].astype(jnp.float32) - rs) * slo
+        out_ref[1] = (ahi_ref[:].astype(jnp.float32) - rs) * shi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "k", "n", "bk", "bnp", "interpret"),
+)
+def _w4a8_matmul(xq, rs, qweight, scales, group, k, n, bk, bnp, interpret):
+    m = xq.shape[0]
+    half = n // 2
+    grid = (half // bnp, k // bk)
+    percol = group >= k
+    groups_per_tile = 1 if percol else bk // group
+    flops = 2 * m * n * k
+    bytes_accessed = qweight.size + scales.size * 2 + m * k + m * n * 4
+    return pl.pallas_call(
+        _w4a8_percol_kernel if percol else _w4a8_kernel,
+        out_shape=jax.ShapeDtypeStruct((2, m, half), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (m, groups_per_tile),
+                (lambda i, j: (0, 0)) if percol else (lambda i, j: (0, j)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bk, bnp), lambda i, j: (j, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (groups_per_tile, 2, bnp),
+                (lambda i, j: (0, 0, i)) if percol
+                else (lambda i, j: (j, 0, i)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, m, bnp), lambda i, j: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=(
+            [
+                pltpu.VMEM((m, bnp), jnp.int32),
+                pltpu.VMEM((m, bnp), jnp.int32),
+            ]
+            if percol
+            else []
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(xq, rs, qweight, scales)
+
+
 def _w8a8_percol_kernel(xq_ref, qw_ref, s_ref, out_ref, acc_ref):
     """Per-column-scale variant: the scale has no K dependence, so K-tiles
     accumulate RAW int32 partial sums in scratch (exact: K * 127^2 < 2^31
@@ -364,8 +521,12 @@ def _local_dims(w) -> Tuple[int, int, int]:
     """(k, n, group) from the ARRAY shapes, not the metadata — inside
     shard_map the leaves are per-shard slices while in/out_features stay
     global, so shapes are the single source of truth."""
-    k = w.qweight.shape[0] * (2 if w.bits == 4 else 1)
-    n = w.qweight.shape[1]
+    if w.w4a8:  # column-planar packing (quant.QuantizedLinear.w4a8)
+        k = w.qweight.shape[0]
+        n = w.qweight.shape[1] * 2
+    else:
+        k = w.qweight.shape[0] * (2 if w.bits == 4 else 1)
+        n = w.qweight.shape[1]
     group = k // w.scales.shape[0]
     return k, n, group
 
@@ -397,6 +558,51 @@ def quant_matmul_pallas(x: jax.Array, w, tp_axis=None) -> jax.Array:
     k, n, group = _local_dims(w)
     leading = x.shape[:-1]
     interpret = jax.default_backend() != "tpu"
+
+    if w.act == "int8" and w.bits == 4:
+        if not w.w4a8:  # tiny non-planar shapes: XLA reference path
+            wf = dequantize(w, dtype=jnp.bfloat16)
+            return jnp.dot(x, wf, preferred_element_type=jnp.float32)
+        # w4a8: column-planar biased packing (quant.quantize_weight) ->
+        # full-K int8 MXU dots; per-group bias correction from activation
+        # rowsums; output unpermuted from (lo, hi) planes to true columns
+        x2 = x.reshape(-1, k).astype(jnp.bfloat16)
+        m = x2.shape[0]
+        m_pad = -m % 32  # int8 min sublane tile
+        tiles4 = (
+            _pick_tiles_w4a8(m + m_pad, k, n, group)
+            if k % group == 0
+            else None
+        )
+        if tiles4 is not None:
+            if m_pad:
+                x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
+            bk, bnp = tiles4
+            xq, xs = quantize_activations(x2, tp_axis)
+            g_cnt = 1 if group >= k else k // group
+            rs = 8.0 * jnp.sum(
+                xq.reshape(x2.shape[0], g_cnt, k // g_cnt).astype(
+                    jnp.float32
+                ),
+                axis=2,
+            )
+            out_pl = _w4a8_matmul(
+                xq, rs, w.qweight, w.scales, group, k, n, bk, bnp,
+                interpret,
+            )  # [2, M, n//2] planar
+            out_pl = out_pl * xs[None, :, None]
+            half = n // 2
+            out = (
+                out_pl.reshape(2, x2.shape[0], half // 32, 32)
+                .transpose(1, 2, 0, 3)
+                .reshape(x2.shape[0], n)
+            )
+            if m_pad:
+                out = out[:m]
+            return out.reshape(*leading, n)
+        # shapes the kernel cannot tile (tiny test models): XLA reference
+        wf = dequantize(w, dtype=jnp.bfloat16)
+        return jnp.dot(x, wf, preferred_element_type=jnp.float32)
 
     if w.act == "int8" and w.bits == 8 and k % group == 0:
         # w8a8 picks tiles with its own search (per-column scales free bk

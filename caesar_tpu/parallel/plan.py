@@ -69,11 +69,14 @@ def _refine_group(w: QuantizedLinear, tp: int) -> QuantizedLinear:
     import dataclasses
     import math
 
-    k = w.qweight.shape[0] * (2 if w.bits == 4 else 1)
+    if w.w4a8:  # column-planar packing: qweight rows ARE the in dim
+        k = w.qweight.shape[0]
+    else:
+        k = w.qweight.shape[0] * (2 if w.bits == 4 else 1)
     if k % tp:
         raise ValueError(f"cannot row-shard in={k} over tp={tp}")
     g_new = math.gcd(w.group, k // tp)
-    if w.bits == 4 and g_new % 2:
+    if w.bits == 4 and not w.w4a8 and g_new % 2:
         raise ValueError("int4 refinement needs an even group")
     repeat = w.group // g_new
     return dataclasses.replace(
@@ -88,10 +91,17 @@ def _shard_linear(w, mesh: Mesh, column: bool):
     if isinstance(w, QuantizedLinear):
         import dataclasses
 
+        # w4a8 planar scales are [groups, 2, out//2]: the column shard
+        # rides the last axis; packed cols [p0:p1] are true cols [2p0:2p1]
+        # (the 64-true-col block pairing keeps every supported shard
+        # boundary — multiples of 64 — block-aligned)
+        s3 = w.scales.ndim == 3
         if column:
-            qspec, sspec = P(None, "tp"), P(None, "tp")
+            qspec = P(None, "tp")
+            sspec = P(None, None, "tp") if s3 else P(None, "tp")
         else:
-            qspec, sspec = P("tp", None), P("tp", None)
+            qspec = P("tp", None)
+            sspec = P("tp", None, None) if s3 else P("tp", None)
             if w.scales.shape[0] % mesh.shape["tp"]:
                 # fewer scale rows than shards (tiny models / big groups):
                 # refine the group by repeating scale rows — numerically

@@ -494,3 +494,75 @@ def test_engine_fp8_kv_chunking_invariance(tiny_params):
         finally:
             eng.close()
     assert outs[0] == outs[1]
+
+
+# ----------------------------------------------------------------------
+# w4a8: int4 weights + int8 activations through the Engine
+# ----------------------------------------------------------------------
+
+def test_engine_w4a8_greedy_matches_quantized_reference(tiny_params):
+    """Engine(quant=w4a8) is token-identical to the naive full-forward over
+    the SAME w4a8-quantized params (model.linear dispatches both through
+    quantized_matmul, so the int8-activation math matches exactly)."""
+    from caesar_tpu.engine.quant import quantize_params
+    from caesar_tpu.engine.weights import resolve_quant_group
+
+    tok = ByteTokenizer()
+    prompt = "w4a8 serving parity check"
+    q4 = quantize_params(
+        tiny_params, bits=4,
+        group=resolve_quant_group("w4a8", -1), act="int8",
+    )
+    expected = _reference_greedy_params(
+        TINY, q4, tok.encode(prompt), 10, tok.eos_id
+    )
+
+    engine = make_engine(tiny_params, quant="w4a8")
+    try:
+        wqkv = engine.params["layers"][0]["wqkv"]
+        assert wqkv.bits == 4 and wqkv.act == "int8"
+        result = engine.generate_sync(greedy_request(prompt, max_tokens=10))
+        assert result.text == tok.decode(expected)
+    finally:
+        engine.close()
+
+
+def test_engine_w4a8_tp2_matches_single_device():
+    """w4a8 under TP=2 with PLANAR-packed leaves (head_dim-128 spec): the
+    column shard of the planar packing and the 3D planar scales must be
+    token-identical to single-device."""
+    from caesar_tpu.engine.model import ModelSpec
+    from caesar_tpu.parallel.plan import make_mesh
+
+    spec = ModelSpec(
+        "kernel-tiny", vocab=512, dim=64, n_layers=2, n_heads=4,
+        n_kv_heads=2, head_dim=128, hidden=128, rope_theta=1e4,
+        tie_embeddings=True,
+    )
+    params = init_params(spec, seed=0, dtype=jnp.float32)
+
+    single = Engine(
+        tiny_econf(quant="w4a8"), spec=spec, params=params,
+        tokenizer=ByteTokenizer(), decode_steps=4,
+    )
+    try:
+        wq = single.params["layers"][0]["wqkv"]
+        assert wq.w4a8, "q/k/v (out=512) should planar-pack"
+        expected = single.generate_sync(greedy_request("w4a8 parallel", 8))
+    finally:
+        single.close()
+
+    sharded = Engine(
+        tiny_econf(quant="w4a8", tp=2),
+        spec=spec, params=params, tokenizer=ByteTokenizer(),
+        decode_steps=4, mesh=make_mesh(2),
+    )
+    try:
+        wq_sh = sharded.params["layers"][0]["wq"]
+        assert wq_sh.w4a8 and wq_sh.scales.shape[-1] * 2 == 512
+        # planar scales co-shard with the packed columns on the last axis
+        assert wq_sh.scales.sharding.spec == (None, None, "tp")
+        got = sharded.generate_sync(greedy_request("w4a8 parallel", 8))
+        assert got.text == expected.text
+    finally:
+        sharded.close()

@@ -173,3 +173,65 @@ def test_w8a8_percolumn_routes_to_kernel(monkeypatch):
     )
     qm.quant_matmul_pallas(x, q)
     assert calls, "per-column w8a8 fell back off the kernel path"
+
+
+# ----------------------------------------------------------------------
+# w4a8: int4 weights, int8 activations (column-planar biased packing)
+# ----------------------------------------------------------------------
+
+def _mk_w4a8(k=256, n=256, group=128, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((k, n), dtype=np.float32) * 0.05
+    return w, quantize_weight(w, bits=4, group=group, act="int8")
+
+
+def test_w4a8_packing_dequantizes_to_plain_int4():
+    """The biased column-planar packing is a pure re-encoding: dequantize
+    must reproduce the row-interleaved int4 weights bit-for-bit."""
+    w, q = _mk_w4a8()
+    assert q.w4a8 and q.qweight.shape == (256, 128)
+    assert q.scales.shape == (2, 2, 128)
+    plain = quantize_weight(w, bits=4, group=128, act="none")
+    np.testing.assert_array_equal(
+        np.asarray(dequantize(q)), np.asarray(dequantize(plain))
+    )
+
+
+@pytest.mark.parametrize("group", [128, 0])
+def test_w4a8_kernel_matches_xla_int8_path(group):
+    """Kernel (interpret) vs the XLA int8-activation reference: identical
+    integer math (biased dots + rowsum correction == signed dots), so the
+    outputs agree to f32 rounding."""
+    from caesar_tpu.engine.quant import _w8a8_matmul_xla
+
+    _, q = _mk_w4a8(group=group)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 256)), jnp.bfloat16)
+    ref = np.asarray(_w8a8_matmul_xla(x, q))
+    got = np.asarray(quant_matmul_pallas(x, q))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_w4a8_kernel_odd_m_padding():
+    _, q = _mk_w4a8()
+    rng = np.random.default_rng(2)
+    x3 = jnp.asarray(rng.standard_normal((3, 5, 256)), jnp.bfloat16)
+    from caesar_tpu.engine.quant import _w8a8_matmul_xla
+
+    ref = np.asarray(_w8a8_matmul_xla(x3, q))
+    got = np.asarray(quant_matmul_pallas(x3, q))
+    assert got.shape == ref.shape == (3, 5, 256)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_w4a8_fuse_concat_is_true_order():
+    """fuse_params-style out-dim concat of planar weights must equal the
+    quantization of each part — planar blocks are position-independent."""
+    from caesar_tpu.engine.quant import _concat_out
+
+    w1, q1 = _mk_w4a8(n=256, seed=3)
+    w2, q2 = _mk_w4a8(n=128, seed=4)
+    fused = _concat_out([q1, q2])
+    d = np.asarray(dequantize(fused))
+    np.testing.assert_array_equal(d[:, :256], np.asarray(dequantize(q1)))
+    np.testing.assert_array_equal(d[:, 256:], np.asarray(dequantize(q2)))

@@ -97,14 +97,16 @@ def probe_quant():
             rng.standard_normal((m, k), np.float32) * 0.1, jnp.bfloat16
         )
         which = os.environ.get("PROBE_KERNELS", "int8,w8a8,int4").split(",")
-        for bits, act, label in (
-            (8, "none", "int8 "),
-            (8, "int8", "w8a8 "),
-            (4, "none", "int4 "),
+        for bits, act, grp, label in (
+            (8, "none", 128, "int8  "),
+            (8, "int8", 128, "w8a8  "),
+            (8, "int8", 0, "w8a8pc"),  # per-column scales: serving default
+            (4, "none", 128, "int4  "),
+            (4, "int8", 128, "w4a8  "),  # planar biased packing
         ):
             if label.strip() not in which:
                 continue
-            q = quantize_weight(w, bits=bits, group=128, act=act)
+            q = quantize_weight(w, bits=bits, group=grp, act=act)
 
             def step(x, q=q, k=k):
                 out = quant_matmul_pallas(x, q)
