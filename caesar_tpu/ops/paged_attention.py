@@ -51,6 +51,10 @@ NEG_INF = -1e30
 SUPER = int(os.environ.get("CAESAR_ATTN_SUPER", "4"))
 #: superblock buffers in flight (cross-sequence pipeline depth)
 DEPTH = int(os.environ.get("CAESAR_ATTN_DEPTH", "4"))
+#: TIMING DEBUG ONLY (tools/kernel_probe.py): skip all page DMA and compute
+#: over stale VMEM — isolates the flash-math cost from the DMA cost.
+#: Results are garbage; never set outside probes.
+_NODMA = bool(os.environ.get("CAESAR_ATTN_NODMA"))
 
 
 def _upcast_kv(tile: jax.Array) -> jax.Array:
@@ -168,7 +172,7 @@ def _kernel(
         return jnp.where(roll, i + 1, i), jnp.where(roll, 0, j)
 
     # --- warm-up: first grid step fills the pipeline ---------------------
-    @pl.when(b == 0)
+    @pl.when(b == 0 if not _NODMA else b < 0)
     def _():
         def warm(d, pf):
             pf_i, pf_j = pf
@@ -200,6 +204,8 @@ def _kernel(
         upcast to f32 (one whole-tile VPU op — per-head strided slices of
         raw bf16 tiles measured 8x slower: Mosaic relayouts dominate)."""
         slot = jax.lax.rem(g_base + j, DEPTH)
+        if _NODMA:  # timing probe: stale VMEM, no copies (garbage output)
+            return _upcast_kv(k_buf[slot]), _upcast_kv(v_buf[slot])
         wait_block(b, j, slot)
         k = _upcast_kv(k_buf[slot])  # [block, n_kv, hd] f32
         v = _upcast_kv(v_buf[slot])

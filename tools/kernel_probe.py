@@ -22,8 +22,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-ITERS = 200
-SMALL = 20
+ITERS = int(os.environ.get("PROBE_ITERS", "200"))
+SMALL = max(ITERS // 10, 2)
 
 
 def _fetch(x):
