@@ -120,19 +120,30 @@ def _paged_attention(
     .py) replaces it on TPU for decode."""
     b, t, n_heads, hd = q.shape
     k, v = kvcache.gather_kv(cache, layer_idx, page_tables)  # [B, S, n_kv, hd]
-    s = k.shape[1]
-    n_kv = k.shape[2]
+    # pin the gathered tiles' layout: without the barrier XLA folds the
+    # downstream dot's layout preference through the gather into the pool
+    # PARAMETER and relayout-copies the whole pool (see vt comment below)
+    k, v = jax.lax.optimization_barrier((k, v))
+    # consume K/V HEAD-MAJOR via explicit (small) transposes: contracting
+    # the gathered [b, s, k, h] directly makes XLA layout-assign the WHOLE
+    # k/v pool PARAMETERS head-major and relayout-copy them (2.6 GB each at
+    # 7B serving pool sizes — it OOM'd the batched-prefill compile); the
+    # barrier above stops the preference folding through the gather
+    k = k.transpose(0, 2, 1, 3)  # [B, n_kv, S, hd]
+    v = v.transpose(0, 2, 1, 3)
+    s = k.shape[2]
+    n_kv = k.shape[1]
     groups = n_heads // n_kv
 
     qg = q.reshape(b, t, n_kv, groups, hd)
     scores = jnp.einsum(
-        "btkgh,bskh->bkgts", qg, k, preferred_element_type=jnp.float32
+        "btkgh,bksh->bkgts", qg, k, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.float32(hd))
     k_pos = jnp.arange(s)[None, None, :]  # positions == gather order
     mask = k_pos <= q_positions[:, :, None]  # [B, T, S]
     scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bkgts,bskh->btkgh", probs, v)
+    out = jnp.einsum("bkgts,bksh->btkgh", probs, v)
     return out.reshape(b, t, n_heads, hd)
 
 

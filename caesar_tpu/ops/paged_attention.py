@@ -47,8 +47,11 @@ import os
 
 NEG_INF = -1e30
 #: pages DMA'd + processed per flash iteration (see _kernel docstring);
-#: env-overridable for tuning sweeps
-SUPER = int(os.environ.get("CAESAR_ATTN_SUPER", "4"))
+#: env-overridable for tuning sweeps.  3 (192-token blocks) measured best
+#: at BOTH the short decode context (384: 2 blocks exact, no tail-page
+#: waste — 0.043 vs 0.133 ms/layer at SUPER=4, B=48) and the config-3
+#: context (1536: 8 blocks exact — 0.304 vs 0.355), tools/kernel_probe.py.
+SUPER = int(os.environ.get("CAESAR_ATTN_SUPER", "3"))
 #: superblock buffers in flight (cross-sequence pipeline depth)
 DEPTH = int(os.environ.get("CAESAR_ATTN_DEPTH", "4"))
 #: TIMING DEBUG ONLY (tools/kernel_probe.py): skip all page DMA and compute

@@ -133,7 +133,8 @@ def probe_attn():
     from caesar_tpu.ops.paged_attention import paged_attention_decode
 
     rng = np.random.default_rng(0)
-    B, NKV, G, HD = 32, 4, 7, 128
+    B = int(os.environ.get("PROBE_B", "32"))
+    NKV, G, HD = 4, 7, 128
     PAGE = int(os.environ.get("PROBE_PAGE", "64"))
     MAXP = 2048 // PAGE
     n_pages = 4096 * 64 // PAGE  # constant pool BYTES across page sizes

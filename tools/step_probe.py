@@ -180,6 +180,7 @@ def main() -> None:
         t_small = loop_time(make_step, x0, 20, extras)
         ms = (t_big - t_small) / 180 * 1e3
         comps[name] = (ms, per_layer)
+        print(f"  [{name}: {ms:.4f} ms]", flush=True)
 
     def qkv_step(x, wqkv, bqkv):
         q, k, v = qkv_project(
