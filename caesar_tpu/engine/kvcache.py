@@ -3,9 +3,14 @@
 vLLM-style paging, laid out TPU-first:
 
 * One pool per model: k/v arrays of shape
-  [n_layers, n_pages, page_size, n_kv_heads, head_dim].  The last two dims
-  (heads x head_dim, = kv_dim >= 128 lanes) keep reads MXU/VPU-tile aligned;
-  page_size rides the sublane dimension.
+  [n_layers, n_pages, n_kv_heads, page_size, head_dim] — HEAD-MAJOR pages.
+  (page_size, head_dim) are the minor dims, so the pool's DEFAULT layout is
+  exactly the (8,128)-tiled form the prefill scatters/gathers and the
+  attention dots want: with heads inside the page (the round-2 layout), XLA
+  layout-assigned the whole pool to page-slot-sublane tiling and
+  relayout-copied BOTH 2.6 GB pools on entry and exit of every batched
+  prefill dispatch (it OOM'd the 7B bench compile).  Head-major also makes
+  each head's page slice contiguous for the Pallas decode kernel.
 * Page tables are data, not shapes: [B, max_pages] int32 arrays index the
   pool, so jit compiles the decode/prefill steps exactly once and sequences
   of any length share them.  Unused table slots point at page 0 and are
@@ -50,7 +55,7 @@ def kv_dtype(name: str):
 )
 @dataclasses.dataclass
 class PagedKVCache:
-    k_pages: jax.Array  # [L, n_pages, page_size, n_kv, hd]
+    k_pages: jax.Array  # [L, n_pages, n_kv, page_size, hd]
     v_pages: jax.Array
     page_size: int
 
@@ -70,7 +75,7 @@ def create_cache(
     dtype_name: str = "bf16",
 ) -> PagedKVCache:
     dtype = kv_dtype(dtype_name)
-    shape = (spec.n_layers, n_pages, page_size, spec.n_kv_heads, spec.head_dim)
+    shape = (spec.n_layers, n_pages, spec.n_kv_heads, page_size, spec.head_dim)
     return PagedKVCache(
         k_pages=jnp.zeros(shape, dtype=dtype),
         v_pages=jnp.zeros(shape, dtype=dtype),
@@ -103,8 +108,13 @@ def write_chunk(
     """Scatter a page-aligned prefill chunk's K/V into the pool."""
     t, n_kv, hd = k.shape
     pages = t // cache.page_size
-    kp = k.reshape(pages, cache.page_size, n_kv, hd).astype(cache.k_pages.dtype)
-    vp = v.reshape(pages, cache.page_size, n_kv, hd).astype(cache.v_pages.dtype)
+
+    def pg(a, d):
+        a = a.reshape(pages, cache.page_size, n_kv, hd)
+        return a.transpose(0, 2, 1, 3).astype(d)  # [pages, n_kv, page, hd]
+
+    kp = pg(k, cache.k_pages.dtype)
+    vp = pg(v, cache.v_pages.dtype)
     return PagedKVCache(
         k_pages=cache.k_pages.at[layer, page_ids].set(kp),
         v_pages=cache.v_pages.at[layer, page_ids].set(vp),
@@ -126,12 +136,13 @@ def write_chunk_batch(
     writes are benign (page 0 is never read unmasked)."""
     p, t, n_kv, hd = k.shape
     pages = t // cache.page_size
-    kp = k.reshape(p * pages, cache.page_size, n_kv, hd).astype(
-        cache.k_pages.dtype
-    )
-    vp = v.reshape(p * pages, cache.page_size, n_kv, hd).astype(
-        cache.v_pages.dtype
-    )
+
+    def pg(a, d):
+        a = a.reshape(p * pages, cache.page_size, n_kv, hd)
+        return a.transpose(0, 2, 1, 3).astype(d)  # [rows, n_kv, page, hd]
+
+    kp = pg(k, cache.k_pages.dtype)
+    vp = pg(v, cache.v_pages.dtype)
     flat_ids = page_ids.reshape(-1)
     return PagedKVCache(
         k_pages=cache.k_pages.at[layer, flat_ids].set(kp),
@@ -151,9 +162,16 @@ def write_token(
     """Scatter one decode token per sequence into the pool."""
     kc = k.astype(cache.k_pages.dtype)
     vc = v.astype(cache.v_pages.dtype)
+    # ADJACENT advanced indices [B, n_kv] for (page, head, slot): a sliced
+    # head dim between two advanced indices (`[layer, page_ids, :, slots]`)
+    # lowers to a transposing scatter that copies the pool every decode
+    # step (measured 8+ ms/step at the 7B pool)
+    heads = jnp.arange(cache.k_pages.shape[2], dtype=page_ids.dtype)
+    pg = page_ids[:, None]  # [B, 1] -> broadcast [B, n_kv]
+    sl = slots[:, None]
     return PagedKVCache(
-        k_pages=cache.k_pages.at[layer, page_ids, slots].set(kc),
-        v_pages=cache.v_pages.at[layer, page_ids, slots].set(vc),
+        k_pages=cache.k_pages.at[layer, pg, heads[None, :], sl].set(kc),
+        v_pages=cache.v_pages.at[layer, pg, heads[None, :], sl].set(vc),
         page_size=cache.page_size,
     )
 
@@ -163,7 +181,8 @@ def gather_kv(
     layer: int,
     page_table: jax.Array,  # [B, max_pages] int32
 ) -> Tuple[jax.Array, jax.Array]:
-    """Gather each sequence's K/V: -> [B, max_pages*page_size, n_kv, hd] bf16.
+    """Gather each sequence's K/V, HEAD-MAJOR:
+    -> [B, n_kv, max_pages*page_size, hd] bf16.
 
     The XLA reference path (the paged-attention Pallas kernel reads pages
     directly from HBM instead); positions beyond a sequence's length contain
@@ -173,9 +192,10 @@ def gather_kv(
     compute_dtype = (
         jnp.float32 if cache.k_pages.dtype == jnp.float32 else jnp.bfloat16
     )
-    k = cache.k_pages[layer][page_table]  # [B, P, page, n_kv, hd]
+    k = cache.k_pages[layer][page_table]  # [B, P, n_kv, page, hd]
     v = cache.v_pages[layer][page_table]
     s = max_pages * cache.page_size
-    k = k.reshape(b, s, *k.shape[3:]).astype(compute_dtype)
-    v = v.reshape(b, s, *v.shape[3:]).astype(compute_dtype)
+    n_kv, hd = k.shape[2], k.shape[4]
+    k = k.transpose(0, 2, 1, 3, 4).reshape(b, n_kv, s, hd).astype(compute_dtype)
+    v = v.transpose(0, 2, 1, 3, 4).reshape(b, n_kv, s, hd).astype(compute_dtype)
     return k, v

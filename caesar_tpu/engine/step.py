@@ -119,18 +119,13 @@ def _paged_attention(
     XLA reference path; the Pallas paged-attention kernel (ops/paged_attention
     .py) replaces it on TPU for decode."""
     b, t, n_heads, hd = q.shape
-    k, v = kvcache.gather_kv(cache, layer_idx, page_tables)  # [B, S, n_kv, hd]
-    # pin the gathered tiles' layout: without the barrier XLA folds the
-    # downstream dot's layout preference through the gather into the pool
-    # PARAMETER and relayout-copies the whole pool (see vt comment below)
-    k, v = jax.lax.optimization_barrier((k, v))
-    # consume K/V HEAD-MAJOR via explicit (small) transposes: contracting
-    # the gathered [b, s, k, h] directly makes XLA layout-assign the WHOLE
-    # k/v pool PARAMETERS head-major and relayout-copy them (2.6 GB each at
-    # 7B serving pool sizes — it OOM'd the batched-prefill compile); the
-    # barrier above stops the preference folding through the gather
-    k = k.transpose(0, 2, 1, 3)  # [B, n_kv, S, hd]
-    v = v.transpose(0, 2, 1, 3)
+    # gather_kv returns HEAD-MAJOR [B, n_kv, S, hd] — matching the pool's
+    # head-major layout (kvcache.py): the einsums below then consume K/V in
+    # the pool's DEFAULT layout, so XLA layout assignment leaves the pool
+    # parameters alone.  (With heads inside the page, the scatters' +
+    # dots' preferred tiling propagated into the pool parameters and XLA
+    # relayout-copied both 2.6 GB pools per prefill dispatch — OOM at 7B.)
+    k, v = kvcache.gather_kv(cache, layer_idx, page_tables)
     s = k.shape[2]
     n_kv = k.shape[1]
     groups = n_heads // n_kv

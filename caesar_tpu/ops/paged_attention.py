@@ -25,8 +25,11 @@ short.  This kernel instead:
   slots cost one superblock instead of their stale full context.
 
 Layout: one grid step per batch row; q [1, n_kv, group, hd] in VMEM; K/V
-page tiles [page_size, n_kv, hd].  GQA runs as [n_kv, group, hd] x
-[page, n_kv, hd] dot_generals per superblock.
+page tiles [n_kv, page_size, hd] (HEAD-MAJOR, matching the pool layout —
+kvcache.py).  GQA runs as per-head [group, hd] x [block, hd] dot_generals
+per superblock; each head's block is a CONTIGUOUS VMEM slice (the round-2
+page-major layout made per-head slices strided, forcing a whole-tile f32
+upcast to dodge Mosaic relayouts).
 
 Page tables, positions and the skip mask arrive via scalar prefetch (SMEM)
 so the kernel can compute every DMA source index itself — including the
@@ -90,14 +93,14 @@ def _kernel(
     skip_ref,  # [B] int32 — nonzero rows clamp to a single scratch token
     # inputs
     q_ref,  # [1, n_kv, group, hd] VMEM block (this sequence)
-    k_hbm,  # [n_layers, n_pages, page, n_kv, hd] in HBM (FULL pool: slicing
+    k_hbm,  # [n_layers, n_pages, n_kv, page, hd] in HBM (FULL pool: slicing
     #         the layer outside the kernel would materialize a copy of the
     #         slice as the custom-call operand — the layer picks inside)
     v_hbm,
     # output
     out_ref,  # [1, n_kv, group, hd] VMEM block
     # scratch
-    k_buf,  # [DEPTH, SUPER*page, n_kv, hd] VMEM
+    k_buf,  # [DEPTH, n_kv, SUPER*page, hd] VMEM
     v_buf,
     sem,  # DMA sems [DEPTH, SUPER, 2]
     cur,  # [4] int32 SMEM, persists across grid steps:
@@ -147,11 +150,11 @@ def _kernel(
         dst = pl.ds(p * page_size, page_size)
         return (
             pltpu.make_async_copy(
-                k_hbm.at[layer, page_id], k_buf.at[slot, dst],
+                k_hbm.at[layer, page_id], k_buf.at[slot, :, dst],
                 sem.at[slot, p, 0],
             ),
             pltpu.make_async_copy(
-                v_hbm.at[layer, page_id], v_buf.at[slot, dst],
+                v_hbm.at[layer, page_id], v_buf.at[slot, :, dst],
                 sem.at[slot, p, 1],
             ),
         )
@@ -235,7 +238,7 @@ def _kernel(
             [
                 jax.lax.dot_general(
                     q[h],  # [group, hd]
-                    k[:, h, :],  # [block, hd]
+                    k[h],  # [block, hd] — contiguous head-major slice
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -252,7 +255,7 @@ def _kernel(
             [
                 jax.lax.dot_general(
                     p[h],  # [group, block]
-                    v[:, h, :],  # [block, hd]
+                    v[h],  # [block, hd] — contiguous head-major slice
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -300,7 +303,7 @@ def supports(spec, page_size: int) -> bool:
 @functools.partial(jax.jit, static_argnames=("page_size", "interpret"))
 def paged_attention_decode(
     q: jax.Array,  # [B, n_heads, hd] (decode: one query token per sequence)
-    k_pages: jax.Array,  # [n_layers, n_pages, page, n_kv, hd] (FULL pool)
+    k_pages: jax.Array,  # [n_layers, n_pages, n_kv, page, hd] (FULL pool)
     v_pages: jax.Array,
     page_tables: jax.Array,  # [B, max_pages] int32
     positions: jax.Array,  # [B] int32 query positions
@@ -315,7 +318,7 @@ def paged_attention_decode(
     (their output is discarded by the caller — done slots emit EOS
     regardless, engine/step.py `emit`)."""
     b, n_heads, hd = q.shape
-    n_kv = k_pages.shape[3]
+    n_kv = k_pages.shape[2]
     group = n_heads // n_kv
     q4 = q.reshape(b, n_kv, group, hd)
     if skip is None:
@@ -341,8 +344,8 @@ def paged_attention_decode(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((DEPTH, SUPER * page_size, n_kv, hd), k_pages.dtype),
-            pltpu.VMEM((DEPTH, SUPER * page_size, n_kv, hd), v_pages.dtype),
+            pltpu.VMEM((DEPTH, n_kv, SUPER * page_size, hd), k_pages.dtype),
+            pltpu.VMEM((DEPTH, n_kv, SUPER * page_size, hd), v_pages.dtype),
             pltpu.SemaphoreType.DMA((DEPTH, SUPER, 2)),
             pltpu.SMEM((4,), jnp.int32),
         ],

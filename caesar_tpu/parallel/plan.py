@@ -184,8 +184,10 @@ def shard_params(spec: ModelSpec, params: dict, mesh: Mesh) -> dict:
 
 
 def shard_cache(cache: PagedKVCache, mesh: Mesh) -> PagedKVCache:
-    """Shard the KV pool over kv heads (attention stays shard-local)."""
-    spec = P(None, None, None, "tp", None)
+    """Shard the KV pool over kv heads (attention stays shard-local).
+
+    Pool layout is head-major: [L, n_pages, n_kv, page, hd] (kvcache.py)."""
+    spec = P(None, None, "tp", None, None)
     return PagedKVCache(
         k_pages=_shard_leaf(cache.k_pages, mesh, spec),
         v_pages=_shard_leaf(cache.v_pages, mesh, spec),

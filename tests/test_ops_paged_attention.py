@@ -21,8 +21,8 @@ B = 4
 def build_case(seed=0, lengths=(37, 5, 60, 16), dtype="f32"):
     rng = np.random.default_rng(seed)
     max_pages = N_PAGES // B
-    k_pages = rng.standard_normal((N_PAGES, PAGE, N_KV, HD)).astype(np.float32)
-    v_pages = rng.standard_normal((N_PAGES, PAGE, N_KV, HD)).astype(np.float32)
+    k_pages = rng.standard_normal((N_PAGES, N_KV, PAGE, HD)).astype(np.float32)
+    v_pages = rng.standard_normal((N_PAGES, N_KV, PAGE, HD)).astype(np.float32)
     tables = np.zeros((B, max_pages), np.int32)
     # disjoint page assignments per sequence
     next_page = 1
@@ -137,8 +137,8 @@ def test_kernel_sharded_tp2_matches_reference():
         mesh=mesh,
         in_specs=(
             P(None, "tp", None),  # q heads are kv-major: per-kv split
-            P(None, None, None, "tp", None),
-            P(None, None, None, "tp", None),
+            P(None, None, "tp", None, None),  # head-major pool: n_kv = dim 2
+            P(None, None, "tp", None, None),
             P(),
             P(),
         ),

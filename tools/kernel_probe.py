@@ -145,11 +145,11 @@ def probe_attn():
         "bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn, "f32": jnp.float32,
     }[os.environ.get("PROBE_KV", "bf16")]
     k_pages = jnp.asarray(
-        rng.standard_normal((n_layers, n_pages, PAGE, NKV, HD), np.float32),
+        rng.standard_normal((n_layers, n_pages, NKV, PAGE, HD), np.float32),
         kv_dtype,
     )
     v_pages = jnp.asarray(
-        rng.standard_normal((n_layers, n_pages, PAGE, NKV, HD), np.float32),
+        rng.standard_normal((n_layers, n_pages, NKV, PAGE, HD), np.float32),
         kv_dtype,
     )
     tables = np.zeros((B, MAXP), np.int32)

@@ -128,10 +128,10 @@ def bench_attn():
     ctx = 384  # tokens of live context per sequence
 
     k_pages = jnp.asarray(
-        rng.standard_normal((n_pages, PAGE, NKV, HD), np.float32), jnp.bfloat16
+        rng.standard_normal((n_pages, NKV, PAGE, HD), np.float32), jnp.bfloat16
     )
     v_pages = jnp.asarray(
-        rng.standard_normal((n_pages, PAGE, NKV, HD), np.float32), jnp.bfloat16
+        rng.standard_normal((n_pages, NKV, PAGE, HD), np.float32), jnp.bfloat16
     )
     tables = np.zeros((B, MAXP), np.int32)
     nextp = 1
