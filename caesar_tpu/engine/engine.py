@@ -292,9 +292,9 @@ class Engine:
                 hbm = 4 * 2 ** 30  # CPU tests: keep it small
         except Exception:
             hbm = 4 * 2 ** 30
-        bytes_per_w = {"bf16": 2.0, "int8": 1.0, "w8a8": 1.0, "int4": 0.5}[
-            self.econf.quant
-        ]
+        bytes_per_w = {
+            "bf16": 2.0, "int8": 1.0, "w8a8": 1.0, "int4": 0.5, "w4a8": 0.5,
+        }[self.econf.quant]
         budget = hbm - self.spec.param_bytes(bytes_per_w) - 2 * 2 ** 30
         page_bytes = kvcache.cache_bytes(
             self.spec, 1, self.page_size, self.econf.kv_quant

@@ -143,7 +143,11 @@ def _kernel(
         n_pages = pl.cdiv(_length(i), page_size)
         page_idx = j * SUPER + p
         i = jnp.minimum(i, n_seqs - 1)
-        return jnp.where(page_idx < n_pages, tables_ref[i, page_idx], 0)
+        # clamp: when SUPER doesn't divide the page count the tail probe's
+        # page_idx can reach past the table; the where discards the value
+        # but the SMEM read itself must stay in bounds
+        page_idx_c = jnp.minimum(page_idx, tables_ref.shape[1] - 1)
+        return jnp.where(page_idx < n_pages, tables_ref[i, page_idx_c], 0)
 
     def _copies(i, j, slot, p):
         page_id = _page_id(i, j, p)
@@ -213,7 +217,7 @@ def _kernel(
         if _NODMA:  # timing probe: stale VMEM, no copies (garbage output)
             return _upcast_kv(k_buf[slot]), _upcast_kv(v_buf[slot])
         wait_block(b, j, slot)
-        k = _upcast_kv(k_buf[slot])  # [block, n_kv, hd] f32
+        k = _upcast_kv(k_buf[slot])  # [n_kv, block, hd] f32
         v = _upcast_kv(v_buf[slot])
 
         # reads above materialize into registers; the slot is now free —

@@ -12,7 +12,7 @@ one all-reduce per sub-block, which XLA emits automatically):
     biases bq/bk/bv   : [out]      -> shard over "tp"
     unembed           : [dim, vocab] -> shard vocab over "tp"
     embed, norms      : replicated
-    KV pages          : [L, pages, page, n_kv, hd] -> shard n_kv over "tp"
+    KV pages          : [L, pages, n_kv, page, hd] -> shard n_kv over "tp"
 
 Attention is head-parallel: q heads and kv heads both split over "tp"
 (n_heads and n_kv_heads must divide tp), so paged attention is fully local

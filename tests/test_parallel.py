@@ -59,7 +59,8 @@ def test_shard_quantized_preserves_act_mode():
 def test_shard_cache_over_kv_heads():
     mesh = make_mesh(2)
     cache = shard_cache(create_cache(TINY, 8, 16, "bf16"), mesh)
-    assert cache.k_pages.sharding.spec == P(None, None, None, "tp", None)
+    # head-major pool [L, pages, n_kv, page, hd]: kv heads on axis 2
+    assert cache.k_pages.sharding.spec == P(None, None, "tp", None, None)
 
 
 def test_tp_must_divide_heads():

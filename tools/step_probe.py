@@ -33,18 +33,30 @@ def build_fake_params(spec, quant: str, key):
 
     from caesar_tpu.engine.quant import QuantizedLinear
 
-    act = "int8" if quant == "w8a8" else "none"
-    bits = {"int8": 8, "w8a8": 8, "int4": 4}.get(quant)
+    act = "int8" if quant in ("w8a8", "w4a8") else "none"
+    bits = {"int8": 8, "w8a8": 8, "int4": 4, "w4a8": 4}.get(quant)
 
     keys = iter(jax.random.split(key, 8 * spec.n_layers + 8))
 
     group_env = os.environ.get("PROBE_GROUP", "128")
 
     def ql(d_in, d_out):
-        rows = d_in // 2 if bits == 4 else d_in
         group = d_in if group_env == "full" else min(int(group_env), d_in)
-        qw = jax.random.randint(next(keys), (rows, d_out), -127, 127, jnp.int8)
-        scales = jnp.full((d_in // group, d_out), 0.01, jnp.bfloat16)
+        if quant == "w4a8":
+            # column-planar biased packing (quant.quantize_weight): qweight
+            # [in, out//2], planar scales [groups, 2, out//2]
+            qw = jax.random.randint(
+                next(keys), (d_in, d_out // 2), -127, 127, jnp.int8
+            )
+            scales = jnp.full(
+                (d_in // group, 2, d_out // 2), 0.01, jnp.bfloat16
+            )
+        else:
+            rows = d_in // 2 if bits == 4 else d_in
+            qw = jax.random.randint(
+                next(keys), (rows, d_out), -127, 127, jnp.int8
+            )
+            scales = jnp.full((d_in // group, d_out), 0.01, jnp.bfloat16)
         return QuantizedLinear(
             qweight=qw, scales=scales, bits=bits, group=group,
             out_features=d_out, in_features=d_in, act=act,
