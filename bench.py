@@ -75,12 +75,14 @@ def main() -> None:
 
     regime_prompt = {"config3": cfg3_prompt, "decode": 256}
     max_prompt = max(regime_prompt[r] for r in regimes)
-    # page-aligned chunk covering the longest prompt: prefill in one
-    # batched dispatch per window
+    # 512-token chunks x 4 rows = 2048 tokens per batched dispatch — inside
+    # the engine's HBM token budget at 7B (the round-3 full-prompt default
+    # left rows x 1536 unbounded and OOM'd at compile); long prompts prefill
+    # across successive windows
     prefill_chunk = int(
         os.environ.get(
             "CAESAR_BENCH_PREFILL_CHUNK",
-            -(-max_prompt // page_size) * page_size,
+            min(512, -(-max_prompt // page_size) * page_size),
         )
     )
 
@@ -143,11 +145,16 @@ def main() -> None:
         plen = regime_prompt[regime]
         texts = _prompts(batch, plen, engine.tokenizer)
 
-        # warmup: compile prefill + decode graphs for this regime's window
-        # buckets (longest + shortest tokenized prompt)
+        # warmup: compile every prefill shape the measured run will use —
+        # the full row bucket (prefill_batch rows per dispatch, plus the
+        # 2/1-row drain tails) x every window bucket a full-length prompt
+        # walks through.  8 concurrent full-length requests cover all of
+        # them; round 3's 2-request warmup left the 4-row bucket compiling
+        # inside the measured span.
         t0 = time.monotonic()
         lens = [len(engine.tokenizer.encode(t)) for t in texts]
-        pick = {lens.index(max(lens)), lens.index(min(lens))}
+        by_len = sorted(range(len(texts)), key=lambda i: lens[i])
+        pick = set(by_len[:4]) | set(by_len[-4:])
         futs = [
             engine.submit(
                 GenerateRequest(

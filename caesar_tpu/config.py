@@ -74,6 +74,14 @@ class EngineConfig:
     #: step share the weight stream, so P pending prefills cost barely more
     #: than one; row counts bucket to powers of two — one compile each)
     prefill_batch: int = 4
+    #: max TOKENS per batched prefill dispatch across all rows (0 = derive
+    #: from the HBM left after weights + KV pool).  This is the admission
+    #: bound that keeps rows x prefill_chunk activation temps inside HBM:
+    #: round 3 shipped nothing bounding it and the 7B config-3 bench
+    #: (4 rows x 1536 tokens -> ~930 MB f32 gate_up temps per matmul)
+    #: OOM'd at compile.  The scheduler dispatches at most
+    #: max(1, budget // prefill_chunk) rows per step.
+    prefill_token_budget: int = 0
     #: tensor-parallel size (chips); 1 on a single chip
     tp: int = 1
     #: data-parallel replicas (across remaining chips)

@@ -212,6 +212,20 @@ class Engine:
 
         if n_pages is None:
             n_pages = econf.num_pages or self._auto_pages()
+        # bound rows x chunk tokens per batched prefill dispatch against the
+        # HBM left after weights + pool (round 3 shipped this unbounded and
+        # the config-3 bench OOM'd at compile: 4 rows x 1536 tok of f32
+        # gate_up temps = ~930 MB per matmul over budget)
+        self.prefill_token_budget = (
+            econf.prefill_token_budget or self._auto_prefill_tokens(n_pages)
+        )
+        if self.prefill_token_budget < self.prefill_chunk:
+            # a single chunk must fit the budget: shrink it (page-aligned)
+            self.prefill_chunk = max(
+                self.page_size,
+                self.prefill_token_budget
+                // self.page_size * self.page_size,
+            )
         self.cache = kvcache.create_cache(
             spec, n_pages, self.page_size, econf.kv_quant
         )
@@ -248,6 +262,14 @@ class Engine:
             )
             and _pa_supports(spec, self.page_size)
         )
+        from caesar_tpu.ops import prefill_attention as _pf
+
+        # prefill flash kernel (no [P,T,S] score materialization); same
+        # enable gate as decode plus the prefill block-geometry constraints
+        self._use_prefill_kernel = (
+            self._use_paged_kernel
+            and _pf.supports(spec, self.page_size, self.prefill_chunk)
+        )
         self._trace = bool(_os.environ.get("CAESAR_ENGINE_TRACE"))
         if mesh is not None:
             # build the shard_map dispatches once; they read the placed
@@ -259,6 +281,7 @@ class Engine:
             )
             self._sharded_prefill = step_mod.make_sharded_prefill_chunk(
                 self.spec, mesh, self.params, self.cache,
+                use_kernel=self._use_prefill_kernel,
             )
         else:
             self._sharded_decode = None
@@ -303,6 +326,34 @@ class Engine:
         floor = self.max_batch * 4  # always enough to admit the batch
         ceil = self.max_batch * self.max_pages_per_seq + 1
         return int(min(max(n, floor), ceil))
+
+    def _auto_prefill_tokens(self, n_pages: int) -> int:
+        """Max tokens per batched prefill dispatch, from the HBM headroom.
+
+        Peak prefill activation temps measured ~530 KB/token at 7B (the
+        round-3 OOM: 6144 tokens peaked ~3.3 GB — dominated by the f32
+        gate_up fusion output, 8 bytes x 2*hidden, plus bf16 copies and
+        dim-sized f32 temps), modeled as 16*hidden + 64*dim bytes/token.
+        A 1 GB slack absorbs XLA scheduling variance."""
+        try:
+            dev = jax.devices()[0]
+            hbm = 16 * 2 ** 30 if dev.platform == "tpu" else 4 * 2 ** 30
+        except Exception:
+            hbm = 4 * 2 ** 30
+        bytes_per_w = {
+            "bf16": 2.0, "int8": 1.0, "w8a8": 1.0, "int4": 0.5, "w4a8": 0.5,
+        }[self.econf.quant]
+        free = (
+            hbm
+            - self.spec.param_bytes(bytes_per_w)
+            - kvcache.cache_bytes(
+                self.spec, n_pages, self.page_size, self.econf.kv_quant
+            )
+            - 2 ** 30
+        )
+        act_bytes = 16 * self.spec.hidden + 64 * self.spec.dim
+        budget = int(free // act_bytes)
+        return min(max(budget, self.page_size), 4096)
 
     # ------------------------------------------------------------------
     # public API
@@ -492,10 +543,13 @@ class Engine:
         t0 = time.monotonic()
         chunk = self.prefill_chunk
         n_chunk_pages = chunk // self.page_size
+        # HBM-derived token bound: at most budget // chunk rows per dispatch
+        # (remaining prefilling rows wait for the next scheduler pass)
+        rows_cap = max(self.prefill_token_budget // chunk, 1)
 
         rows = []  # (seq, real_t, new_pages)
         need_max = 1
-        for seq in list(self._prefilling):
+        for seq in list(self._prefilling)[:rows_cap]:
             all_tokens = seq.all_tokens()
             start = seq.n_cached + seq.prefilled
             try:
@@ -539,10 +593,7 @@ class Engine:
             n_table = min(len(seq.pages), window)
             tables[i, :n_table] = seq.pages[:n_table]
 
-        dispatch = self._sharded_prefill or functools.partial(
-            step_mod.prefill_chunk, self.spec
-        )
-        self.cache, _logits = dispatch(
+        args = (
             self.params,
             self.cache,
             jnp.asarray(tokens),
@@ -551,6 +602,12 @@ class Engine:
             jnp.asarray(chunk_ids),
             jnp.asarray(last_index),
         )
+        if self._sharded_prefill is not None:
+            self.cache, _logits = self._sharded_prefill(*args)
+        else:
+            self.cache, _logits = step_mod.prefill_chunk(
+                self.spec, *args, self._use_prefill_kernel
+            )
         self.stats.prefill_dispatches += 1
         self._prefill_unsynced = True
 

@@ -157,6 +157,8 @@ def _prefill_impl(
     chunk_page_ids: jax.Array,  # [P, T // page_size]
     last_index: jax.Array,  # [P]
     tp_axis: Optional[str] = None,
+    use_kernel: bool = False,
+    interpret: bool = False,
 ) -> Tuple[PagedKVCache, jax.Array]:
     """Prefill body, shared by the single-device jit and the shard_map
     tensor-parallel wrapper (tp_axis set => spec is the LOCAL shard's head
@@ -175,7 +177,20 @@ def _prefill_impl(
         cache = kvcache.write_chunk_batch(
             cache, layer_idx, chunk_page_ids, k, v
         )
-        attn = _paged_attention(spec, cache, layer_idx, q, page_table, positions)
+        if use_kernel:
+            from caesar_tpu.ops.prefill_attention import prefill_attention
+
+            # flash kernel over the just-written pages: no [P,T,S] score
+            # materialization (the round-3 prefill bottleneck + OOM)
+            attn = prefill_attention(
+                q, cache.k_pages, cache.v_pages, page_table,
+                positions[:, 0], jnp.asarray(layer_idx, jnp.int32),
+                cache.page_size, interpret=interpret,
+            )
+        else:
+            attn = _paged_attention(
+                spec, cache, layer_idx, q, page_table, positions
+            )
         delta = linear(attn.reshape(*attn.shape[:2], spec.q_dim), layer["wo"],
                        tp_axis=tp_axis)
         if tp_axis is not None:
@@ -193,7 +208,9 @@ def _prefill_impl(
     return cache, _lm_head(spec, params, last_hidden, tp_axis)
 
 
-@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+@functools.partial(
+    jax.jit, static_argnums=(0, 8), donate_argnums=(2,)
+)
 def prefill_chunk(
     spec: ModelSpec,
     params: dict,
@@ -203,12 +220,15 @@ def prefill_chunk(
     page_table: jax.Array,  # [P, W] — full tables incl. the chunks' pages
     chunk_page_ids: jax.Array,  # [P, T // page_size] — where each row writes
     last_index: jax.Array,  # [P] — index of the real last token per row
+    use_kernel: bool = False,
 ) -> Tuple[PagedKVCache, jax.Array]:
     """Run one prefill chunk for each of P sequences; returns (cache, logits
     of each row's last real token [P, vocab])."""
+    interpret = jax.default_backend() != "tpu"
     return _prefill_impl(
         spec, params, cache, tokens, positions, page_table,
         chunk_page_ids, last_index,
+        use_kernel=use_kernel, interpret=interpret,
     )
 
 
@@ -421,6 +441,7 @@ def make_sharded_prefill_chunk(
     mesh: "jax.sharding.Mesh",
     params: dict,
     cache: PagedKVCache,
+    use_kernel: bool = False,
 ):
     """Tensor-parallel prefill dispatch: _prefill_impl inside shard_map.
 
@@ -432,12 +453,14 @@ def make_sharded_prefill_chunk(
     local_spec = _local_shard_spec(spec, mesh)
     param_specs = jax.tree.map(lambda l: l.sharding.spec, params)
     cache_specs = jax.tree.map(lambda l: l.sharding.spec, cache)
+    interpret = jax.default_backend() != "tpu"
 
     def inner(params, cache, tokens, positions, page_table,
               chunk_page_ids, last_index):
         return _prefill_impl(
             local_spec, params, cache, tokens, positions, page_table,
             chunk_page_ids, last_index, tp_axis="tp",
+            use_kernel=use_kernel, interpret=interpret,
         )
 
     sharded = jax.shard_map(

@@ -546,6 +546,62 @@ def supports(w) -> bool:
     return k % group == 0 and _tiles_for(w) is not None
 
 
+#: token threshold above which matmuls leave the Pallas kernels for plain
+#: XLA dots.  The kernels are DECODE-tuned: they hold the whole [M, K]
+#: activation block in VMEM and maximize weight-tile bytes, which is right
+#: when M is the ~48-row decode batch and the op is weight-DMA-bound.  At
+#: prefill M (hundreds to thousands of tokens) that same tile search
+#: collapses to tiny tiles and re-streams the activations once per N-tile —
+#: measured ~15x off the compute roofline at config-3 shape (the round-3
+#: prefill bottleneck).  Prefill is COMPUTE-bound: XLA's native int8 MXU
+#: dot measured ~280 TFLOPs at [2048, 3584] x [3584, 37888], so above this
+#: M the right kernel is no kernel at all.
+_XLA_M = int(_os.environ.get("CAESAR_QMM_XLA_M", "256"))
+
+
+def _large_m_matmul(x2: jax.Array, w, tp_axis=None) -> jax.Array:
+    """Compute-bound (prefill-shape) path: plain XLA dots on the MXU.
+
+    Per-column-scale int8 activations (the serving default): one native
+    int8 x int8 -> int32 dot — bit-identical to the Pallas per-column
+    kernels (same raw int32 accumulation, same two f32 rescales).  Grouped
+    scales / weight-only: dequantize once to bf16 and let the MXU stream it
+    — at M >= _XLA_M the dequant traffic is amortized over enough rows
+    that the dot is compute-bound either way.
+    """
+    from caesar_tpu.engine.quant import (
+        _unpack_int4,
+        _unpack_w4a8,
+        _unplanarize_scales,
+        dequantize,
+        quantize_activations,
+    )
+
+    k, n, group = _local_dims(w)
+    if w.act == "int8" and group >= k:
+        xq, xs = quantize_activations(x2, tp_axis)
+        if w.w4a8:
+            qw = _unpack_w4a8(w.qweight)
+            scales = _unplanarize_scales(w.scales)
+        elif w.bits == 4:
+            qw = _unpack_int4(w.qweight, k)
+            scales = w.scales
+        else:
+            qw = w.qweight
+            scales = w.scales
+        ig = jax.lax.dot_general(
+            xq, qw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (
+            ig.astype(jnp.float32)
+            * scales.reshape(1, n).astype(jnp.float32)
+            * xs[:, None]
+        )
+    wf = dequantize(w, dtype=jnp.bfloat16)
+    return jnp.dot(x2, wf, preferred_element_type=jnp.float32)
+
+
 def quant_matmul_pallas(x: jax.Array, w, tp_axis=None) -> jax.Array:
     """x [..., K] @ dequant(w) -> [..., N] f32 via the fused kernel.
 
@@ -558,6 +614,15 @@ def quant_matmul_pallas(x: jax.Array, w, tp_axis=None) -> jax.Array:
     k, n, group = _local_dims(w)
     leading = x.shape[:-1]
     interpret = jax.default_backend() != "tpu"
+
+    m_total = 1
+    for d in leading:
+        m_total *= d
+    if m_total >= _XLA_M:
+        out = _large_m_matmul(
+            x.reshape(-1, k).astype(jnp.bfloat16), w, tp_axis
+        )
+        return out.reshape(*leading, n)
 
     if w.act == "int8" and w.bits == 4:
         if not w.w4a8:  # tiny non-planar shapes: XLA reference path

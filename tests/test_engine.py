@@ -566,3 +566,40 @@ def test_engine_w4a8_tp2_matches_single_device():
         assert got.text == expected.text
     finally:
         sharded.close()
+
+
+def test_engine_prefill_kernel_matches_xla_path(monkeypatch):
+    """The prefill flash kernel (single device, interpret mode on CPU) is
+    token-identical to the XLA score-materializing path, including chunked
+    prompts that span several windows."""
+    from caesar_tpu.engine.model import ModelSpec
+
+    spec = ModelSpec(
+        "kernel-tiny", vocab=512, dim=64, n_layers=2, n_heads=4,
+        n_kv_heads=2, head_dim=128, hidden=128, rope_theta=1e4,
+        tie_embeddings=True,
+    )
+    params = init_params(spec, seed=0, dtype=jnp.float32)
+    prompt = "prefill kernel parity probe " * 8  # several 32-token chunks
+
+    ref = Engine(
+        tiny_econf(prefix_cache=False), spec=spec, params=params,
+        tokenizer=ByteTokenizer(), decode_steps=4,
+    )
+    try:
+        assert not ref._use_prefill_kernel  # CPU default: XLA path
+        expected = ref.generate_sync(greedy_request(prompt, 8))
+    finally:
+        ref.close()
+
+    monkeypatch.setenv("CAESAR_FORCE_PAGED_KERNEL", "1")
+    forced = Engine(
+        tiny_econf(prefix_cache=False), spec=spec, params=params,
+        tokenizer=ByteTokenizer(), decode_steps=4,
+    )
+    try:
+        assert forced._use_prefill_kernel
+        got = forced.generate_sync(greedy_request(prompt, 8))
+        assert got.text == expected.text
+    finally:
+        forced.close()

@@ -132,3 +132,40 @@ def test_chain_yields_to_newly_prefilled_sequence(tiny_params):
         fut_a.result(timeout=600)
     finally:
         engine.close()
+
+
+def test_prefill_token_budget_bounds_rows_and_matches(tiny_params):
+    """With prefill_token_budget == prefill_chunk the scheduler may prefill
+    only ONE row per dispatch; outputs must match the unbounded engine and
+    the dispatch count must reflect the bound."""
+    base, base_stats = _outputs(tiny_params, max_tokens=12)
+    bounded, stats = _outputs(
+        tiny_params, max_tokens=12, prefill_token_budget=32,
+        prefill_batch=4,
+    )
+    assert bounded == base
+    # 6 prompts of 36+ tokens, chunk 32, 1 row/dispatch -> at least 12
+    # prefill dispatches; the unbounded engine batches 4 rows at a time
+    assert stats["prefill_dispatches"] > base_stats["prefill_dispatches"]
+
+
+def test_prefill_budget_shrinks_oversized_chunk(tiny_params):
+    """A chunk larger than the token budget is shrunk (page-aligned) so a
+    single dispatch can never exceed the HBM bound."""
+    from caesar_tpu.engine.tokenizer import ByteTokenizer
+
+    engine = Engine(
+        tiny_econf(
+            prefix_cache=False, prefill_chunk=64, prefill_token_budget=48,
+        ),
+        spec=TINY, params=tiny_params, tokenizer=ByteTokenizer(),
+        decode_steps=4,
+    )
+    try:
+        assert engine.prefill_chunk == 48 // 16 * 16  # page-aligned shrink
+        r = engine.submit(
+            greedy_request("budget shrink parity " * 5, max_tokens=8)
+        ).result(timeout=600)
+        assert len(r.text) > 0
+    finally:
+        engine.close()

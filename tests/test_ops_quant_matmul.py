@@ -235,3 +235,68 @@ def test_w4a8_fuse_concat_is_true_order():
     d = np.asarray(dequantize(fused))
     np.testing.assert_array_equal(d[:, :256], np.asarray(dequantize(q1)))
     np.testing.assert_array_equal(d[:, 256:], np.asarray(dequantize(q2)))
+
+
+# ----------------------------------------------------------------------
+# large-M (prefill-shape) XLA routing
+# ----------------------------------------------------------------------
+
+
+def _large_m_cases():
+    import dataclasses
+
+    k, n = 256, 512
+    cases = {}
+    cases["w8a8_percol"] = dataclasses.replace(
+        quantize_weight(
+            np.random.default_rng(0).standard_normal((k, n), np.float32)
+            * 0.05,
+            bits=8, group=0, act="int8",
+        ),
+        act="int8",
+    )
+    cases["w8a8_grouped"] = quantize_weight(
+        np.random.default_rng(1).standard_normal((k, n), np.float32) * 0.05,
+        bits=8, group=128, act="int8",
+    )
+    cases["int8_weight_only"] = make(8)
+    cases["w4a8_percol"] = quantize_weight(
+        np.random.default_rng(2).standard_normal((k, n), np.float32) * 0.05,
+        bits=4, group=0, act="int8",
+    )
+    return cases
+
+
+@pytest.mark.parametrize("name", list(_large_m_cases().keys()))
+def test_large_m_routes_to_xla_and_matches_reference(name):
+    """Above the _XLA_M token threshold (prefill shapes) the fused kernels
+    are bypassed for plain XLA dots — numerics must stay close to the
+    dequantized bf16 reference for every quant mode."""
+    q = _large_m_cases()[name]
+    rng = np.random.default_rng(7)
+    m = 300  # > _XLA_M default (256)
+    x = jnp.asarray(rng.standard_normal((m, 256), dtype=np.float32) * 0.1)
+    expected = np.asarray(
+        jnp.dot(
+            x.astype(jnp.bfloat16),
+            dequantize(q, dtype=jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    )
+    got = np.asarray(quant_matmul_pallas(x, q))
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=8e-2, rtol=8e-2)
+
+
+def test_large_m_w8a8_percol_bit_identical_to_kernel_math():
+    """The per-column int8 XLA dot must reproduce the Pallas per-column
+    kernel's math EXACTLY (raw int32 accumulation, two f32 rescales) —
+    prefill (XLA path) and decode (kernel path) then agree bit-for-bit."""
+    from caesar_tpu.engine.quant import _w8a8_matmul_xla
+
+    q = _large_m_cases()["w8a8_percol"]
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((300, 256), dtype=np.float32) * 0.1)
+    got = np.asarray(quant_matmul_pallas(x, q))
+    ref = np.asarray(_w8a8_matmul_xla(x.astype(jnp.bfloat16), q))
+    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
