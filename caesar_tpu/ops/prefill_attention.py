@@ -50,21 +50,56 @@ from jax.experimental.pallas import tpu as pltpu
 from caesar_tpu.ops.paged_attention import _upcast_kv
 
 NEG_INF = -1e30
-#: tokens per KV superblock (SUPER_P pages); 256 divides every serving
-#: context and keeps the per-block dots MXU-shaped
+#: starting tokens per KV superblock (shrunk by the VMEM fit below)
 SBLK_TOKENS = 256
-#: query-block rows per grid step.  128 keeps the f32 score transient
-#: (n_kv * group * BT * SBLK * 4 B = 3.7 MB at 7B shapes) plus q/out/acc
-#: blocks and the double-buffered KV superblocks inside the 16 MB VMEM;
-#: 256 measured over budget on paper (score transient alone 7.3 MB).
-BT_MAX = 128
+#: starting query-block rows per grid step (shrunk by the VMEM fit below)
+BT_MAX = 256
+#: scoped-VMEM target for the kernel's working set.  The hardware limit is
+#: 16 MB and Mosaic's stack accounting (double-buffered q/out blocks, the
+#: f32 score/prob transients, flash carries, KV superblock buffers) tracks
+#: the _vmem_est model to ~20%: 256x256 geometry at 7B shapes measured
+#: 18.5 MB on-device (compile-time OOM), the model said 15.2 — the target
+#: leaves that margin under the 16 MB limit.
+_VMEM_TARGET = int(11.5 * 2 ** 20)
 
 
-def _pick_bt(t: int) -> int:
-    bt = min(t, BT_MAX)
+def _pick_bt(t: int, cap: int = BT_MAX) -> int:
+    bt = min(t, cap)
     while t % bt:
         bt //= 2
     return max(bt, 1)
+
+
+def _vmem_est(
+    bt: int, sblk: int, n_kv: int, group: int, hd: int, kv_bytes: int
+) -> int:
+    heads_rows = n_kv * group * bt
+    return (
+        2 * heads_rows * sblk * 4  # scores + probs f32 transients
+        + 2 * heads_rows * hd * 4  # acc carry + pv transient f32
+        + 2 * 2 * heads_rows * hd * 2  # q + out blocks, double-buffered
+        + 2 * 2 * n_kv * sblk * hd * kv_bytes  # K/V superblock buffers
+    )
+
+
+#: (bt, sblk) preference order: biggest MXU blocks first, balanced shrink
+_GEOMETRIES = (
+    (256, 256), (256, 128), (128, 256), (128, 128), (128, 64),
+    (64, 128), (64, 64), (32, 64), (32, 32), (32, 16), (32, 8),
+)
+
+
+def _pick_geometry(
+    t: int, page_size: int, n_kv: int, group: int, hd: int, kv_bytes: int
+) -> tuple:
+    """First (bt, sblk) candidate that fits the VMEM target, with bt
+    adjusted to divide the chunk and sblk to whole pages."""
+    for cand_bt, cand_sblk in _GEOMETRIES:
+        bt = _pick_bt(t, cand_bt)
+        sblk = max(cand_sblk // page_size, 1) * page_size
+        if _vmem_est(bt, sblk, n_kv, group, hd, kv_bytes) <= _VMEM_TARGET:
+            return bt, sblk
+    return _pick_bt(t, 32), page_size
 
 
 def _kernel(
@@ -216,8 +251,9 @@ def prefill_attention(
     b, t, n_heads, hd = q.shape
     n_kv = k_pages.shape[2]
     group = n_heads // n_kv
-    bt = _pick_bt(t)
-    sblk = SBLK_TOKENS if SBLK_TOKENS % page_size == 0 else page_size
+    bt, sblk = _pick_geometry(
+        t, page_size, n_kv, group, hd, k_pages.dtype.itemsize
+    )
     super_p = sblk // page_size
 
     scale = 1.0 / (hd ** 0.5)
