@@ -168,14 +168,16 @@ def _kernel(
 
     q = q_ref[0].reshape(n_kv, group * bt, hd).astype(jnp.bfloat16)
 
-    # row r of the merged [group*BT] dim is g*BT + t: recover t for the mask
-    r_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (n_kv, group * bt, sblk), dimension=1
-    )
-    t_iota = jax.lax.rem(r_iota, bt)
-    s_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (n_kv, group * bt, sblk), dimension=2
-    )
+    # mask geometry depends only on (t, s): keep the iotas [BT, SBLK] and
+    # broadcast at the where — score-shaped i32 iotas (3 x ~1.8 MB at 7B
+    # shapes) were the scoped-VMEM OOM's main line item
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (bt, sblk), dimension=0)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (bt, sblk), dimension=1)
+
+    def _to_bf16(tile):
+        if tile.dtype == jnp.bfloat16:
+            return tile  # no f32 round-trip copy for bf16 pools
+        return _upcast_kv(tile).astype(jnp.bfloat16)
 
     start_block(0, 0)
 
@@ -188,16 +190,20 @@ def _kernel(
             start_block(j + 1, 1 - slot)
 
         wait_block(j, slot)
-        k = _upcast_kv(k_buf[slot]).astype(jnp.bfloat16)  # [n_kv, SBLK, hd]
-        v = _upcast_kv(v_buf[slot]).astype(jnp.bfloat16)
+        k = _to_bf16(k_buf[slot])  # [n_kv, SBLK, hd]
+        v = _to_bf16(v_buf[slot])
 
         scores = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [n_kv, group*BT, SBLK]
-        k_pos = j * sblk + s_iota
-        scores = jnp.where(k_pos <= q_base + t_iota, scores, NEG_INF)
+        mask2d = (j * sblk + s_iota) <= (q_base + t_iota)  # [BT, SBLK]
+        scores = jnp.where(
+            mask2d[None, None],
+            scores.reshape(n_kv, group, bt, sblk),
+            NEG_INF,
+        ).reshape(n_kv, group * bt, sblk)
 
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1))
         alpha = jnp.exp(m_prev - m_new)
