@@ -73,13 +73,21 @@ def _pick_bt(t: int, cap: int = BT_MAX) -> int:
 def _vmem_est(
     bt: int, sblk: int, n_kv: int, group: int, hd: int, kv_bytes: int
 ) -> int:
+    """Scoped-VMEM model CALIBRATED against on-device compiles at the 7B
+    shapes (n_kv=4, group=7, hd=128): (bt=128, sblk=128) measured 17.73 MB,
+    (128, 64) 17.37 MB — i.e. score-shaped buffers pad their lane dim to
+    128 (sblk < 128 saves only the KV DMA buffers) and Mosaic's real stack
+    runs ~1.54x the naive sum (where-copies, exp temps, q copy, alpha
+    broadcasts).  Both are folded in below."""
     heads_rows = n_kv * group * bt
-    return (
-        2 * heads_rows * sblk * 4  # scores + probs f32 transients
+    sblk_eff = max(sblk, 128)  # lane-dim padding
+    naive = (
+        2 * heads_rows * sblk_eff * 4  # scores + probs f32 transients
         + 2 * heads_rows * hd * 4  # acc carry + pv transient f32
         + 2 * 2 * heads_rows * hd * 2  # q + out blocks, double-buffered
         + 2 * 2 * n_kv * sblk * hd * kv_bytes  # K/V superblock buffers
     )
+    return int(naive * 1.54)
 
 
 #: (bt, sblk) preference order: biggest MXU blocks first, balanced shrink
@@ -94,6 +102,14 @@ def _pick_geometry(
 ) -> tuple:
     """First (bt, sblk) candidate that fits the VMEM target, with bt
     adjusted to divide the chunk and sblk to whole pages."""
+    import os
+
+    forced_bt = int(os.environ.get("CAESAR_PREFILL_BT", "0"))
+    forced_sblk = int(os.environ.get("CAESAR_PREFILL_SBLK", "0"))
+    if forced_bt and forced_sblk:  # tuning sweeps only
+        return _pick_bt(t, forced_bt), max(
+            forced_sblk // page_size, 1
+        ) * page_size
     for cand_bt, cand_sblk in _GEOMETRIES:
         bt = _pick_bt(t, cand_bt)
         sblk = max(cand_sblk // page_size, 1) * page_size
