@@ -74,14 +74,18 @@ class EngineConfig:
     #: step share the weight stream, so P pending prefills cost barely more
     #: than one; row counts bucket to powers of two — one compile each)
     prefill_batch: int = 4
-    #: max TOKENS per batched prefill dispatch across all rows (0 = derive
-    #: from the HBM left after weights + KV pool).  This is the admission
-    #: bound that keeps rows x prefill_chunk activation temps inside HBM:
-    #: round 3 shipped nothing bounding it and the 7B config-3 bench
-    #: (4 rows x 1536 tokens -> ~930 MB f32 gate_up temps per matmul)
-    #: OOM'd at compile.  The scheduler dispatches at most
-    #: max(1, budget // prefill_chunk) rows per step.
+    #: max TOKENS of prefill in flight on the device across queued
+    #: dispatches (0 = derive from the HBM left after weights + KV pool).
+    #: This is the admission bound that keeps prefill activation temps
+    #: inside HBM: round 3 shipped nothing bounding it and the 7B config-3
+    #: bench (4 rows x 1536 tokens -> ~930 MB f32 gate_up temps per
+    #: matmul) OOM'd at compile.  The scheduler dispatches at most
+    #: budget // prefill_inflight tokens per step and syncs past that
+    #: depth (PJRT allocates queued programs' temps at enqueue).
     prefill_token_budget: int = 0
+    #: async prefill dispatches kept in flight before syncing (each holds
+    #: its temp buffers from enqueue until completion)
+    prefill_inflight: int = 2
     #: tensor-parallel size (chips); 1 on a single chip
     tp: int = 1
     #: data-parallel replicas (across remaining chips)

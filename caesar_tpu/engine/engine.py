@@ -219,11 +219,16 @@ class Engine:
         self.prefill_token_budget = (
             econf.prefill_token_budget or self._auto_prefill_tokens(n_pages)
         )
-        if self.prefill_token_budget < self.prefill_chunk:
-            # a single chunk must fit the budget: shrink it (page-aligned)
+        self._prefill_dispatch_tokens = max(
+            self.prefill_token_budget // max(econf.prefill_inflight, 1),
+            self.page_size,
+        )
+        if self._prefill_dispatch_tokens < self.prefill_chunk:
+            # a single chunk must fit the per-dispatch budget: shrink it
+            # (page-aligned)
             self.prefill_chunk = max(
                 self.page_size,
-                self.prefill_token_budget
+                self._prefill_dispatch_tokens
                 // self.page_size * self.page_size,
             )
         self.cache = kvcache.create_cache(
@@ -293,6 +298,10 @@ class Engine:
         self._preempted: List[_Sequence] = []  # readmit before new work
         self._prefilling: List[_Sequence] = []
         self._prefill_unsynced = False  # async prefill queued on device
+        #: logits handles of queued prefill dispatches, oldest first —
+        #: fetched beyond econf.prefill_inflight so queued programs' temp
+        #: buffers (allocated at enqueue) never stack past the HBM budget
+        self._prefill_queue: List[object] = []
         self._chain: Optional[_DecodeChain] = None  # pipelined decode run
 
         self._wake = threading.Event()
@@ -305,20 +314,31 @@ class Engine:
         self._thread.start()
 
     # ------------------------------------------------------------------
-    def _auto_pages(self) -> int:
-        """Size the page pool from the device HBM budget (single chip)."""
+    def _hbm_bytes(self) -> int:
         try:
             dev = jax.devices()[0]
             if dev.platform == "tpu":
-                hbm = 16 * 2 ** 30  # v5e
-            else:
-                hbm = 4 * 2 ** 30  # CPU tests: keep it small
+                return 16 * 2 ** 30  # v5e
         except Exception:
-            hbm = 4 * 2 ** 30
+            pass
+        return 4 * 2 ** 30  # CPU tests: keep it small
+
+    def _param_bytes(self) -> int:
+        """Honest on-device weight footprint: embeddings STAY bf16 under
+        every quant mode (only linears quantize), which param_bytes'
+        uniform bytes-per-weight assumption undercounts by ~0.5 GB at 7B
+        int8 — enough to blow the real HBM headroom (round-4 bench hit
+        RESOURCE_EXHAUSTED on exactly that margin)."""
         bytes_per_w = {
             "bf16": 2.0, "int8": 1.0, "w8a8": 1.0, "int4": 0.5, "w4a8": 0.5,
         }[self.econf.quant]
-        budget = hbm - self.spec.param_bytes(bytes_per_w) - 2 * 2 ** 30
+        correction = int(self.spec.vocab * self.spec.dim * (2 - bytes_per_w))
+        return int(self.spec.param_bytes(bytes_per_w)) + max(correction, 0)
+
+    def _auto_pages(self) -> int:
+        """Size the page pool from the device HBM budget (single chip)."""
+        hbm = self._hbm_bytes()
+        budget = hbm - self._param_bytes() - 2 * 2 ** 30
         page_bytes = kvcache.cache_bytes(
             self.spec, 1, self.page_size, self.econf.kv_quant
         )
@@ -328,32 +348,26 @@ class Engine:
         return int(min(max(n, floor), ceil))
 
     def _auto_prefill_tokens(self, n_pages: int) -> int:
-        """Max tokens per batched prefill dispatch, from the HBM headroom.
+        """Max prefill tokens IN FLIGHT on the device, from the HBM
+        headroom after weights + pool.
 
-        Peak prefill activation temps measured ~530 KB/token at 7B (the
-        round-3 OOM: 6144 tokens peaked ~3.3 GB — dominated by the f32
-        gate_up fusion output, 8 bytes x 2*hidden, plus bf16 copies and
-        dim-sized f32 temps), modeled as 16*hidden + 64*dim bytes/token.
-        A 1 GB slack absorbs XLA scheduling variance."""
-        try:
-            dev = jax.devices()[0]
-            hbm = 16 * 2 ** 30 if dev.platform == "tpu" else 4 * 2 ** 30
-        except Exception:
-            hbm = 4 * 2 ** 30
-        bytes_per_w = {
-            "bf16": 2.0, "int8": 1.0, "w8a8": 1.0, "int4": 0.5, "w4a8": 0.5,
-        }[self.econf.quant]
+        Prefill dispatches are asynchronous and PJRT allocates each queued
+        program's temp buffers at enqueue, so the bound must cover every
+        in-flight dispatch, not just one (the scheduler divides this by
+        econf.prefill_inflight per dispatch and syncs beyond that depth).
+        Temps modeled at 16*hidden + 32*dim bytes/token (i32 + f32 gate_up
+        fusion outputs dominate; ~370 KB at 7B) with 512 MB slack."""
         free = (
-            hbm
-            - self.spec.param_bytes(bytes_per_w)
+            self._hbm_bytes()
+            - self._param_bytes()
             - kvcache.cache_bytes(
                 self.spec, n_pages, self.page_size, self.econf.kv_quant
             )
-            - 2 ** 30
+            - 2 ** 29
         )
-        act_bytes = 16 * self.spec.hidden + 64 * self.spec.dim
+        act_bytes = 16 * self.spec.hidden + 32 * self.spec.dim
         budget = int(free // act_bytes)
-        return min(max(budget, self.page_size), 4096)
+        return min(max(budget, self.page_size), 8192)
 
     # ------------------------------------------------------------------
     # public API
@@ -545,7 +559,7 @@ class Engine:
         n_chunk_pages = chunk // self.page_size
         # HBM-derived token bound: at most budget // chunk rows per dispatch
         # (remaining prefilling rows wait for the next scheduler pass)
-        rows_cap = max(self.prefill_token_budget // chunk, 1)
+        rows_cap = max(self._prefill_dispatch_tokens // chunk, 1)
 
         rows = []  # (seq, real_t, new_pages)
         need_max = 1
@@ -610,6 +624,12 @@ class Engine:
             )
         self.stats.prefill_dispatches += 1
         self._prefill_unsynced = True
+        # bound queued-dispatch temps: block on the oldest dispatch once
+        # more than prefill_inflight are outstanding (execution is
+        # in-order, so fetching one scalar of dispatch k-depth drains it)
+        self._prefill_queue.append(_logits)
+        while len(self._prefill_queue) > max(self.econf.prefill_inflight, 1):
+            np.asarray(self._prefill_queue.pop(0)[:1, :1])
 
         for seq, real_t, _ in rows:
             seq.prefilled += real_t
@@ -720,6 +740,7 @@ class Engine:
             np.asarray(self.cache.k_pages[(0,) * self.cache.k_pages.ndim])
             self.stats.prefill_time_s += time.monotonic() - t_sync
             self._prefill_unsynced = False
+            self._prefill_queue.clear()
         t0 = time.monotonic()
 
         tokens = np.zeros(b, dtype=np.int32)

@@ -157,6 +157,7 @@ def test_prefill_budget_shrinks_oversized_chunk(tiny_params):
     engine = Engine(
         tiny_econf(
             prefix_cache=False, prefill_chunk=64, prefill_token_budget=48,
+            prefill_inflight=1,
         ),
         spec=TINY, params=tiny_params, tokenizer=ByteTokenizer(),
         decode_steps=4,
