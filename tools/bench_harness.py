@@ -12,6 +12,15 @@ API calls".  Runs the SAME sweep (engine generation + mock eval) twice:
 Prints one JSON line with both rates and the speedup.
 
     python tools/bench_harness.py [model] [workers]
+
+Env knobs (config-3 shape = defaults at 7B):
+    CAESAR_HB_QUANT    weight quant (default w8a8 for 7B, bf16 otherwise)
+    CAESAR_HB_SAMPLES  samples per problem (default 5 -> 50 trajectories
+                       over the 10-problem level-1 subset)
+    CAESAR_HB_MAXK     turns per trajectory (default 3)
+    CAESAR_HB_TOKENS   max new tokens per turn (default 128)
+The engine shapes (max_batch 48, max_seq_len 2048, chunk 512) match
+bench.py so the persistent compile cache carries over.
 """
 
 from __future__ import annotations
@@ -44,16 +53,21 @@ def run_sweep(model: str, workers: int, tmp: str, tag: str) -> dict:
     cfg.backend = "engine"
     cfg.eval_backend = "mock"
     cfg.dataset_name = "kernelbench-tpu/level1-subset"
-    cfg.max_k = 2
-    cfg.max_tokens = 64
+    cfg.num_samples = int(os.environ.get("CAESAR_HB_SAMPLES", "5"))
+    cfg.max_k = int(os.environ.get("CAESAR_HB_MAXK", "3"))
+    cfg.max_tokens = int(os.environ.get("CAESAR_HB_TOKENS", "128"))
     cfg.greedy_sample = True
     cfg.num_workers = workers
     cfg.log_dir_prefix = os.path.join(tmp, tag, "logs")
     cfg.build_dir_prefix = os.path.join(tmp, tag, "build")
     cfg.engine.model = model
+    cfg.engine.quant = os.environ.get(
+        "CAESAR_HB_QUANT", "w8a8" if "7b" in model else "bf16"
+    )
     cfg.engine.max_batch = max(2, min(workers, 48))
-    cfg.engine.max_seq_len = 8192
-    cfg.engine.prefill_chunk = 1024
+    # shapes matching bench.py: the persistent compile cache carries over
+    cfg.engine.max_seq_len = 2048
+    cfg.engine.prefill_chunk = 512
     cfg.finalize()
 
     generator = make_generator(cfg)
