@@ -86,6 +86,14 @@ class EngineConfig:
     #: async prefill dispatches kept in flight before syncing (each holds
     #: its temp buffers from enqueue until completion)
     prefill_inflight: int = 2
+    #: defer a PARTIAL batch of fresh prefill rows by exactly ONE
+    #: scheduler pass (i.e. one decode chunk) to wait for co-riders.
+    #: Prefill cost is dominated by the per-dispatch weight stream + fixed
+    #: work, so a 1-row dispatch costs nearly as much as a full
+    #: prefill_batch; when trajectory turns trickle in mid-sweep this
+    #: coalesces them into full rows at a worst-case cost of one decode
+    #: chunk of time-to-first-token.
+    prefill_coalesce: bool = True
     #: tensor-parallel size (chips); 1 on a single chip
     tp: int = 1
     #: data-parallel replicas (across remaining chips)

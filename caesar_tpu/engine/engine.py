@@ -298,6 +298,9 @@ class Engine:
         self._preempted: List[_Sequence] = []  # readmit before new work
         self._prefilling: List[_Sequence] = []
         self._prefill_unsynced = False  # async prefill queued on device
+        #: coalescing state: a partial batch of FRESH rows has been given
+        #: one scheduler pass to collect co-riders (econf.prefill_coalesce)
+        self._prefill_deferred = False
         #: logits handles of queued prefill dispatches, oldest first —
         #: fetched beyond econf.prefill_inflight so queued programs' temp
         #: buffers (allocated at enqueue) never stack past the HBM budget
@@ -434,7 +437,7 @@ class Engine:
                 progressed = False
                 progressed |= self._admit()
                 progressed |= self._prefill_one_chunk()
-                if self.econf.prefill_priority and (
+                if self.econf.prefill_priority and not self._prefill_deferred and (
                     self._prefilling
                     or (
                         not self._pending.empty()
@@ -560,6 +563,24 @@ class Engine:
         # HBM-derived token bound: at most budget // chunk rows per dispatch
         # (remaining prefilling rows wait for the next scheduler pass)
         rows_cap = max(self._prefill_dispatch_tokens // chunk, 1)
+
+        # coalesce ragged arrivals: a PARTIAL batch of rows that haven't
+        # started prefilling yet waits exactly one scheduler pass (one
+        # decode chunk) for co-riders — per-dispatch cost is dominated by
+        # the weight stream + fixed work, so 1-row dispatches waste most
+        # of it.  One pass, not wall-clock: it self-scales from ms-long
+        # tiny-model chunks to the 7B's ~0.5 s chunks.
+        full = min(max(self.econf.prefill_batch, 1), rows_cap)
+        if (
+            self.econf.prefill_coalesce
+            and not self._prefill_deferred
+            and len(self._prefilling) < full
+            and all(s.prefilled == 0 for s in self._prefilling)
+            and any(s is not None for s in self._slots)
+        ):
+            self._prefill_deferred = True
+            return False  # let a decode chunk run; retry next pass
+        self._prefill_deferred = False
 
         rows = []  # (seq, real_t, new_pages)
         need_max = 1

@@ -36,7 +36,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_sweep(model: str, workers: int, tmp: str, tag: str) -> dict:
+def run_sweep(
+    model: str, workers: int, tmp: str, tag: str,
+    samples: int | None = None, max_k: int | None = None,
+) -> dict:
     from caesar_tpu.config import RunConfig
     from caesar_tpu.harness.driver import run_all
     from caesar_tpu.harness.generate import make_generator
@@ -53,8 +56,8 @@ def run_sweep(model: str, workers: int, tmp: str, tag: str) -> dict:
     cfg.backend = "engine"
     cfg.eval_backend = "mock"
     cfg.dataset_name = "kernelbench-tpu/level1-subset"
-    cfg.num_samples = int(os.environ.get("CAESAR_HB_SAMPLES", "5"))
-    cfg.max_k = int(os.environ.get("CAESAR_HB_MAXK", "3"))
+    cfg.num_samples = samples or int(os.environ.get("CAESAR_HB_SAMPLES", "5"))
+    cfg.max_k = max_k or int(os.environ.get("CAESAR_HB_MAXK", "3"))
     cfg.max_tokens = int(os.environ.get("CAESAR_HB_TOKENS", "128"))
     cfg.greedy_sample = True
     cfg.num_workers = workers
@@ -89,8 +92,16 @@ def main() -> None:
 
     tmp = tempfile.mkdtemp(prefix="caesar_bench_")
     try:
-        concurrent = run_sweep(model, workers, tmp, "concurrent")
+        # untimed warmup legs: compile every prefill row/window bucket and
+        # BOTH decode graphs (batch=48 and batch=2) before the clocks
+        # start — the first cut of this tool ran the concurrent leg cold
+        # and measured ~10 minutes of XLA compiles as "trajectory time".
+        # max_k matches the timed legs so turn-3 prompt lengths (the
+        # deepest window bucket) compile here, not in the measured span.
+        run_sweep(model, workers, tmp, "warm-conc", samples=1)
+        run_sweep(model, 1, tmp, "warm-seq", samples=1)
         sequential = run_sweep(model, 1, tmp, "sequential")
+        concurrent = run_sweep(model, workers, tmp, "concurrent")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -110,6 +121,12 @@ def main() -> None:
             "prefix_hit_rate": concurrent.get("engine", {}).get(
                 "prefix_hit_rate"
             ),
+            "concurrent_engine": {
+                k: round(v, 3) if isinstance(v, float) else v
+                for k, v in concurrent.get("engine", {}).items()
+            },
+            "concurrent_wall_s": round(concurrent["wall_s"], 1),
+            "sequential_wall_s": round(sequential["wall_s"], 1),
             "failed": len(concurrent["failed"]) + len(sequential["failed"]),
         },
     }

@@ -34,7 +34,10 @@ import json
 
 #: ops that count as "real work" scheduled inside an async collective span
 _WORK = re.compile(r"= [a-z0-9_\[\]{},: ]*(fusion|dot|custom-call)\(")
-_TUPLE_AR = re.compile(r"= \((?:[^)]+, )+[^)]+\) all-reduce\(")
+#: linear-time tuple-all-reduce pattern ([^)]* cannot cross the paren —
+#: the old nested-quantifier form backtracked catastrophically on long
+#: HLO lines, the round-3 "46-minute compile")
+_TUPLE_AR = re.compile(r"= \([^)]*,[^)]*\) all-reduce\(")
 
 
 def _abstract_tp_args(spec, mesh, n_steps, batch, use_kernel, microbatches):
