@@ -30,6 +30,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# the CPU-mesh leg needs >= 2 virtual CPU devices; set before jax imports
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
 import json
 
 #: ops that count as "real work" scheduled inside an async collective span

@@ -249,8 +249,9 @@ def main() -> None:
         kp, vp, kv = carry
         c = PagedKVCache(k_pages=kp, v_pages=vp, page_size=page_size)
         c = kvcache.write_token(c, 0, wp, ws, kv, kv)
+        # head-major pool: [L, pages, n_kv, page, hd] — take one [hd] row
         return (c.k_pages, c.v_pages,
-                kv + c.k_pages[0, 0, 0].astype(kv.dtype) * 0.0)
+                kv + c.k_pages[0, 0, 0, 0].astype(kv.dtype) * 0.0)
 
     comp("kv write (scatter)", write_step,
          (cache.k_pages, cache.v_pages, kv1))
