@@ -101,7 +101,11 @@ def async_spans(hlo: str) -> list:
     spans = []
     opened = {}  # name -> work count since its start
     for line in hlo.splitlines():
-        m = re.search(r"%(\S+?) = \S+ (all-reduce|all-gather)-start\(", line)
+        # shape may be a TUPLE (combined collective) containing spaces
+        m = re.search(
+            r"%(\S+?) = (?:\([^)]*\)|\S+) (all-reduce|all-gather)-start\(",
+            line,
+        )
         if m:
             opened[m.group(1)] = 0
             continue
@@ -139,7 +143,11 @@ def tpu_topology_hlo(microbatches: int) -> dict:
         "pairs_with_work_inside": sum(1 for _, w in spans if w > 0),
         "max_ops_inside_span": max((w for _, w in spans), default=0),
         "sync_all_reduces": len(
-            re.findall(r"= \S+ all-reduce\(", hlo)
+            re.findall(r"= (?:\([^)]*\)|\S+) all-reduce\(", hlo)
+        ),
+        "combined_all_reduces": len(_TUPLE_AR.findall(hlo))
+        + len(
+            re.findall(r"= \([^)]*,[^)]*\) all-reduce-start\(", hlo)
         ),
     }
 
