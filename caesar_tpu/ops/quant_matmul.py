@@ -257,15 +257,21 @@ def _unpack_biased(qw_ref):
     return lo, hi
 
 
-def _w4a8_kernel(xq_ref, rs_ref, qw_ref, s_ref, out_ref):
-    """Grouped w4a8: full-K int8 MXU dots on biased nibble planes.
+def _w4a8_kernel(xq_ref, qw_ref, s_ref, out_ref):
+    """Grouped w4a8: per-group int8 MXU dots on biased nibble planes.
 
     xq  [M, BK] int8            — per-token quantized activations
-    rs  [M, BK/group] f32       — 8 * per-group activation rowsums (the
-                                  bias correction: dot(x, w+8) - 8*sum(x))
     qw  [BK, BNP] int8          — column-planar packed bytes
     s   [BK/group, 2, BNP] bf16 — planar weight scales (lo, hi planes)
     out [2, M, BNP] f32         — planar output (caller unpermutes)
+
+    The +8 nibble-bias correction (dot(x, w+8) - 8*sum(x)) is computed
+    IN-KERNEL from the resident xq tile — an [M, group] VPU reduction per
+    group, exact in f32 (|group sum| <= 128*127 < 2^24).  A separate
+    rowsum operand would need an [M, groups_per_tile] block whose last
+    dim is neither 128-aligned nor the full array dim — a Mosaic block
+    constraint the interpret-mode tests don't enforce but the TPU
+    lowering rejects (round-4 w4a8 bench crash).
     """
 
     @pl.when(pl.program_id(1) == 0)
@@ -284,7 +290,9 @@ def _w4a8_kernel(xq_ref, rs_ref, qw_ref, s_ref, out_ref):
                         preferred_element_type=jnp.int32)
         ig_hi = jnp.dot(xg, hi[g * group:(g + 1) * group],
                         preferred_element_type=jnp.int32)
-        rsg = rs_ref[:, g][:, None]  # [M, 1] f32
+        rsg = 8.0 * jnp.sum(
+            xg.astype(jnp.float32), axis=1, keepdims=True
+        )  # [M, 1]
         slo = s_ref[g, 0, :].astype(jnp.float32)[None, :]
         shi = s_ref[g, 1, :].astype(jnp.float32)[None, :]
         acc_lo += (ig_lo.astype(jnp.float32) - rsg) * slo
@@ -323,6 +331,9 @@ def _w4a8_percol_kernel(
     static_argnames=("group", "k", "n", "bk", "bnp", "interpret"),
 )
 def _w4a8_matmul(xq, rs, qweight, scales, group, k, n, bk, bnp, interpret):
+    """rs is consumed by the PER-COLUMN kernel only (8 * full-K rowsum,
+    [M, 1]); the grouped kernel computes its per-group rowsums in-kernel
+    and takes no rs operand (see _w4a8_kernel)."""
     m = xq.shape[0]
     half = n // 2
     grid = (half // bnp, k // bk)
@@ -330,27 +341,35 @@ def _w4a8_matmul(xq, rs, qweight, scales, group, k, n, bk, bnp, interpret):
     groups_per_tile = 1 if percol else bk // group
     flops = 2 * m * n * k
     bytes_accessed = qweight.size + scales.size * 2 + m * k + m * n * 4
+    xq_spec = pl.BlockSpec(
+        (m, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM
+    )
+    qw_spec = pl.BlockSpec(
+        (bk, bnp), lambda i, j: (j, i), memory_space=pltpu.VMEM
+    )
+    s_spec = pl.BlockSpec(
+        (groups_per_tile, 2, bnp),
+        (lambda i, j: (0, 0, i)) if percol else (lambda i, j: (j, 0, i)),
+        memory_space=pltpu.VMEM,
+    )
+    if percol:
+        in_specs = [
+            xq_spec,
+            pl.BlockSpec(
+                (m, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            qw_spec,
+            s_spec,
+        ]
+        operands = (xq, rs, qweight, scales)
+    else:
+        in_specs = [xq_spec, qw_spec, s_spec]
+        operands = (xq, qweight, scales)
     return pl.pallas_call(
         _w4a8_percol_kernel if percol else _w4a8_kernel,
         out_shape=jax.ShapeDtypeStruct((2, m, half), jnp.float32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((m, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (m, groups_per_tile),
-                (lambda i, j: (0, 0)) if percol else (lambda i, j: (0, j)),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (bk, bnp), lambda i, j: (j, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (groups_per_tile, 2, bnp),
-                (lambda i, j: (0, 0, i)) if percol
-                else (lambda i, j: (j, 0, i)),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (2, m, bnp), lambda i, j: (0, 0, i), memory_space=pltpu.VMEM
         ),
@@ -367,7 +386,7 @@ def _w4a8_matmul(xq, rs, qweight, scales, group, k, n, bk, bnp, interpret):
         ),
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(xq, rs, qweight, scales)
+    )(*operands)
 
 
 def _w8a8_percol_kernel(xq_ref, qw_ref, s_ref, out_ref, acc_ref):
@@ -644,13 +663,14 @@ def quant_matmul_pallas(x: jax.Array, w, tp_axis=None) -> jax.Array:
                 x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
             bk, bnp = tiles4
             xq, xs = quantize_activations(x2, tp_axis)
-            g_cnt = 1 if group >= k else k // group
-            rs = 8.0 * jnp.sum(
-                xq.reshape(x2.shape[0], g_cnt, k // g_cnt).astype(
-                    jnp.float32
-                ),
-                axis=2,
-            )
+            # rs feeds the PER-COLUMN kernel only (8 * full-K rowsum);
+            # the grouped kernel derives its rowsums in-kernel
+            if group >= k:
+                rs = 8.0 * jnp.sum(
+                    xq.astype(jnp.float32), axis=1, keepdims=True
+                )
+            else:
+                rs = jnp.zeros((x2.shape[0], 1), jnp.float32)
             out_pl = _w4a8_matmul(
                 xq, rs, w.qweight, w.scales, group, k, n, bk, bnp,
                 interpret,
