@@ -23,9 +23,10 @@ the round-3 VERDICT mistook for a stuck compile.  The pattern below is
 linear-time: `[^)]*` cannot cross the closing paren, so there is exactly
 one way to match).
 
-The TPU-scheduled artifact (async all-reduce-start/done spanning the next
-slice's fusions) comes from `tools/overlap_probe.py`, which AOT-compiles
-the same program for a v5e:2x4 topology; its output is recorded in
+The TPU-scheduled artifact comes from `tools/overlap_probe.py`, which
+AOT-compiles the same program for a v5e:2x4 topology: there, 56 of 56
+all-reduces in the microbatched module are multi-operand (combined
+across slices) vs 0 of 56 in the mb=1 control; output recorded in
 docs/ENGINE.md ("Collective overlap" section).  The reference has no
 counterpart (it has no collectives at all — SURVEY.md §2.3); this covers
 the owed "collectives overlapped with decode compute" stack.

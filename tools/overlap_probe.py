@@ -97,26 +97,47 @@ def _abstract_tp_args(spec, mesh, n_steps, batch, use_kernel, microbatches):
 
 
 def async_spans(hlo: str) -> list:
-    """[(collective_name, ops_inside_span)] for each start/done pair."""
+    """[(collective_name, ops_inside_span)] for each start/done pair.
+
+    Matching is OPERAND-based, never shape-based: scheduled HLO prints
+    tuple result shapes with layout annotations (`(f32[...]{1,0:T(8,128)},
+    ...)`) whose nested parens and spaces defeat any shape regex — the
+    first two cuts of this probe counted ZERO collectives in modules full
+    of combined all-reduces for exactly that reason."""
     spans = []
     opened = {}  # name -> work count since its start
     for line in hlo.splitlines():
-        # shape may be a TUPLE (combined collective) containing spaces
-        m = re.search(
-            r"%(\S+?) = (?:\([^)]*\)|\S+) (all-reduce|all-gather)-start\(",
+        m = re.match(
+            r"\s*(?:ROOT )?%([\w.\-]+) = .*? (?:all-reduce|all-gather)"
+            r"-start\(",
             line,
         )
         if m:
             opened[m.group(1)] = 0
             continue
-        m = re.search(r"(all-reduce|all-gather)-done\(%?([\w.\-]+)", line)
-        if m and m.group(2) in opened:
-            spans.append((m.group(2), opened.pop(m.group(2))))
+        m = re.search(
+            r"(?:all-reduce|all-gather)-done\(%?([\w.\-]+)", line
+        )
+        if m and m.group(1) in opened:
+            spans.append((m.group(1), opened.pop(m.group(1))))
             continue
         if opened and _WORK.search(line):
             for k in opened:
                 opened[k] += 1
     return spans
+
+
+def count_all_reduces(hlo: str) -> dict:
+    """{'sync': n, 'sync_combined': n, 'start': n, 'start_combined': n}
+    — combined = >= 2 operands inside the op's argument list (operand
+    lists are single-line and paren-free, unlike result shapes)."""
+    out = {"sync": 0, "sync_combined": 0, "start": 0, "start_combined": 0}
+    for m in re.finditer(r" all-reduce(-start)?\(([^)]*)\)", hlo):
+        kind = "start" if m.group(1) else "sync"
+        out[kind] += 1
+        if m.group(2).count("%") >= 2:
+            out[kind + "_combined"] += 1
+    return out
 
 
 def tpu_topology_hlo(microbatches: int) -> dict:
@@ -142,13 +163,7 @@ def tpu_topology_hlo(microbatches: int) -> dict:
         "async_pairs": len(spans),
         "pairs_with_work_inside": sum(1 for _, w in spans if w > 0),
         "max_ops_inside_span": max((w for _, w in spans), default=0),
-        "sync_all_reduces": len(
-            re.findall(r"= (?:\([^)]*\)|\S+) all-reduce\(", hlo)
-        ),
-        "combined_all_reduces": len(_TUPLE_AR.findall(hlo))
-        + len(
-            re.findall(r"= \([^)]*,[^)]*\) all-reduce-start\(", hlo)
-        ),
+        **count_all_reduces(hlo),
     }
 
 
@@ -166,9 +181,11 @@ def cpu_mesh_hlo(microbatches: int) -> dict:
         microbatches=microbatches,
     )
     hlo = fn.lower(*args).compile().as_text()
+    counts = count_all_reduces(hlo)
     return {
-        "combined_all_reduces": len(_TUPLE_AR.findall(hlo)),
-        "total_all_reduces": hlo.count("all-reduce("),
+        "combined_all_reduces": counts["sync_combined"]
+        + counts["start_combined"],
+        "total_all_reduces": counts["sync"] + counts["start"],
     }
 
 
