@@ -151,6 +151,39 @@ def write_chunk_batch(
     )
 
 
+def write_chunk_batch_kernel(
+    cache: PagedKVCache,
+    layer,
+    page_ids: jax.Array,  # [P, n_chunk_pages] int32
+    k: jax.Array,  # [P, T, n_kv, hd]
+    v: jax.Array,
+    interpret: bool = False,
+) -> PagedKVCache:
+    """write_chunk_batch via the Pallas page-writer DMA kernel
+    (ops/kv_writer.py) — the XLA scatter it replaces measured ~0.47 ms
+    per 512-token row-layer on the 7B pool (~a quarter of a prefill
+    dispatch's device time) for ~5 us of actual data movement."""
+    from caesar_tpu.ops.kv_writer import write_pages
+
+    p, t, n_kv, hd = k.shape
+    pages = t // cache.page_size
+
+    def pg(a, d):
+        a = a.reshape(p * pages, cache.page_size, n_kv, hd)
+        return a.transpose(0, 2, 1, 3).astype(d)  # [R, n_kv, page, hd]
+
+    kp, vp = write_pages(
+        cache.k_pages,
+        cache.v_pages,
+        pg(k, cache.k_pages.dtype),
+        pg(v, cache.v_pages.dtype),
+        page_ids.reshape(-1),
+        jnp.asarray(layer, jnp.int32),
+        interpret=interpret,
+    )
+    return PagedKVCache(k_pages=kp, v_pages=vp, page_size=cache.page_size)
+
+
 def write_token(
     cache: PagedKVCache,
     layer: int,

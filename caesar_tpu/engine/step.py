@@ -174,9 +174,15 @@ def _prefill_impl(
     for layer_idx, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["ln_attn"], spec.rms_eps)
         q, k, v = qkv_project(spec, layer, h, positions)
-        cache = kvcache.write_chunk_batch(
-            cache, layer_idx, chunk_page_ids, k, v
-        )
+        if use_kernel:
+            # DMA page writer instead of the XLA scatter (kv_writer.py)
+            cache = kvcache.write_chunk_batch_kernel(
+                cache, layer_idx, chunk_page_ids, k, v, interpret=interpret
+            )
+        else:
+            cache = kvcache.write_chunk_batch(
+                cache, layer_idx, chunk_page_ids, k, v
+            )
         if use_kernel:
             from caesar_tpu.ops.prefill_attention import prefill_attention
 

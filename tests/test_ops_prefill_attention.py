@@ -163,3 +163,55 @@ def test_supports_geometry():
         head_dim=64, hidden=1,
     )
     assert not supports(bad_hd, 64, 512)
+
+
+# ----------------------------------------------------------------------
+# Pallas page writer (ops/kv_writer.py)
+# ----------------------------------------------------------------------
+
+
+def test_kv_writer_matches_xla_scatter():
+    """The DMA page writer must produce a pool bit-identical to the XLA
+    write_chunk_batch scatter (disjoint real pages + shared scratch 0)."""
+    from caesar_tpu.engine import kvcache
+
+    rng = np.random.default_rng(3)
+    p, t = 3, 32  # 2 pages per row at PAGE=16
+    k = jnp.asarray(rng.standard_normal((p, t, N_KV, HD)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((p, t, N_KV, HD)), jnp.float32)
+    page_ids = jnp.asarray([[3, 7], [12, 5], [0, 0]], jnp.int32)  # row 3 pads
+    pool = jnp.asarray(
+        rng.standard_normal((1, N_PAGES, N_KV, PAGE, HD)), jnp.float32
+    )
+    cache0 = kvcache.PagedKVCache(k_pages=pool, v_pages=pool, page_size=PAGE)
+
+    ref = kvcache.write_chunk_batch(cache0, 0, page_ids, k, v)
+    got = kvcache.write_chunk_batch_kernel(
+        cache0, 0, page_ids, k, v, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.k_pages), np.asarray(ref.k_pages)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.v_pages), np.asarray(ref.v_pages)
+    )
+
+
+def test_kv_writer_fp8_pool():
+    from caesar_tpu.engine import kvcache
+
+    rng = np.random.default_rng(4)
+    p, t = 2, 16
+    k = jnp.asarray(rng.standard_normal((p, t, N_KV, HD)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((p, t, N_KV, HD)), jnp.float32)
+    page_ids = jnp.asarray([[2], [9]], jnp.int32)
+    pool = jnp.zeros((1, N_PAGES, N_KV, PAGE, HD), jnp.float8_e4m3fn)
+    cache0 = kvcache.PagedKVCache(k_pages=pool, v_pages=pool, page_size=PAGE)
+    ref = kvcache.write_chunk_batch(cache0, 0, page_ids, k, v)
+    got = kvcache.write_chunk_batch_kernel(
+        cache0, 0, page_ids, k, v, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.k_pages.astype(jnp.float32)),
+        np.asarray(ref.k_pages.astype(jnp.float32)),
+    )

@@ -68,13 +68,23 @@ def main() -> None:
     )
     last = jnp.full((pbatch,), chunk - 1, jnp.int32)
 
+    # kernel path by default on TPU (the serving default since round 4);
+    # PROBE_PREFILL_XLA=1 forces the score-materializing XLA path
+    import jax as _jax
+
+    use_kernel = (
+        _jax.default_backend() == "tpu"
+        and not os.environ.get("PROBE_PREFILL_XLA")
+    )
+
     def run_prefill(n):
         nonlocal cache
         c = cache
         t0 = time.perf_counter()
         for _ in range(n):
             c, logits = step_mod.prefill_chunk(
-                spec, params, c, tokens, positions, table, chunk_pages, last
+                spec, params, c, tokens, positions, table, chunk_pages,
+                last, use_kernel,
             )
         np.asarray(logits)  # sync
         dt = time.perf_counter() - t0
@@ -136,6 +146,24 @@ def main() -> None:
     comp("prefill attention (XLA)", attn_step, q0,
          extras=(cache.k_pages, cache.v_pages), iters=100)
 
+    if use_kernel:
+        from caesar_tpu.ops.prefill_attention import prefill_attention
+
+        qb = jax.random.normal(
+            key, (pbatch, chunk, spec.n_heads, spec.head_dim), jnp.bfloat16
+        )
+        starts = positions[:, 0]
+        layer0 = jnp.asarray(0, jnp.int32)
+
+        def kattn_step(q, kp, vp):
+            out = prefill_attention(
+                q, kp, vp, table, starts, layer0, page_size
+            )
+            return q + out[..., :1, :1, :1] * 0.0
+
+        comp(f"prefill attention (flash, P={pbatch})", kattn_step, qb,
+             extras=(cache.k_pages, cache.v_pages), iters=100)
+
     # write_chunk scatter: pool travels in the carry for in-place updates
     kvc = jax.random.normal(
         key, (chunk, spec.n_kv_heads, spec.head_dim), jnp.bfloat16
@@ -145,8 +173,9 @@ def main() -> None:
         kp, vp, kv = carry
         c = kvcache.PagedKVCache(k_pages=kp, v_pages=vp, page_size=page_size)
         c = kvcache.write_chunk(c, 0, chunk_pages[0], kv, kv)
+        # head-major pool [L, pages, n_kv, page, hd]: take one [hd] row
         return (c.k_pages, c.v_pages,
-                kv + c.k_pages[0, 0, 0].astype(kv.dtype) * 0.0)
+                kv + c.k_pages[0, 0, 0, 0].astype(kv.dtype) * 0.0)
 
     comp("kv write_chunk", write_step,
          (cache.k_pages, cache.v_pages, kvc), iters=100)
