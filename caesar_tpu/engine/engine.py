@@ -287,6 +287,7 @@ class Engine:
             self._sharded_prefill = step_mod.make_sharded_prefill_chunk(
                 self.spec, mesh, self.params, self.cache,
                 use_kernel=self._use_prefill_kernel,
+                chunk=self.prefill_chunk,
             )
         else:
             self._sharded_decode = None
@@ -604,10 +605,6 @@ class Engine:
         p = 1  # row-count bucket (one compile per bucket)
         while p < len(rows):
             p *= 2
-        tokens = np.zeros((p, chunk), dtype=np.int32)
-        positions = np.zeros((p, chunk), dtype=np.int32)
-        chunk_ids = np.zeros((p, n_chunk_pages), dtype=np.int32)
-        last_index = np.zeros((p,), dtype=np.int32)
         # static gather window: just the pages covering the deepest row's
         # last position, rounded up to a power of two (one compile per
         # bucket).  The XLA prefill-attention path materializes
@@ -618,30 +615,33 @@ class Engine:
         while window < need_max:
             window *= 2
         window = min(window, self.max_pages_per_seq)
-        tables = np.zeros((p, window), dtype=np.int32)
+        # ONE staging buffer per dispatch (step._unpack_prefill layout:
+        # tokens | chunk pages | last | start | table) — five separate
+        # transfers each paid a host->device tunnel round trip per dispatch
+        packed = np.zeros(
+            (p, chunk + n_chunk_pages + 2 + window), dtype=np.int32
+        )
         for i, (seq, real_t, new_pages) in enumerate(rows):
             start = seq.n_cached + seq.prefilled
-            tokens[i, :real_t] = seq.all_tokens()[start : start + real_t]
-            positions[i] = np.arange(start, start + chunk, dtype=np.int32)
-            chunk_ids[i] = new_pages
-            last_index[i] = real_t - 1
+            packed[i, :real_t] = seq.all_tokens()[start : start + real_t]
+            packed[i, chunk : chunk + n_chunk_pages] = new_pages
+            packed[i, chunk + n_chunk_pages] = real_t - 1
+            packed[i, chunk + n_chunk_pages + 1] = start
             n_table = min(len(seq.pages), window)
-            tables[i, :n_table] = seq.pages[:n_table]
+            packed[
+                i,
+                chunk + n_chunk_pages + 2 : chunk + n_chunk_pages + 2
+                + n_table,
+            ] = seq.pages[:n_table]
 
-        args = (
-            self.params,
-            self.cache,
-            jnp.asarray(tokens),
-            jnp.asarray(positions),
-            jnp.asarray(tables),
-            jnp.asarray(chunk_ids),
-            jnp.asarray(last_index),
-        )
         if self._sharded_prefill is not None:
-            self.cache, _logits = self._sharded_prefill(*args)
+            self.cache, _logits = self._sharded_prefill(
+                self.params, self.cache, jnp.asarray(packed)
+            )
         else:
-            self.cache, _logits = step_mod.prefill_chunk(
-                self.spec, *args, self._use_prefill_kernel
+            self.cache, _logits = step_mod.prefill_chunk_packed(
+                self.spec, self.params, self.cache, jnp.asarray(packed),
+                chunk, self._use_prefill_kernel,
             )
         self.stats.prefill_dispatches += 1
         self._prefill_unsynced = True

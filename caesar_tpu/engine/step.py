@@ -238,6 +238,45 @@ def prefill_chunk(
     )
 
 
+def _unpack_prefill(packed: jax.Array, chunk: int, page_size: int):
+    """Split the one-transfer staging buffer (engine._prefill_one_chunk):
+    [P, chunk | chunk//page | 1 | 1 | W] int32 =
+    tokens | chunk_page_ids | last_index | start | page_table.
+    positions are derived on device (start + arange) — five small
+    host->device transfers per dispatch each paid a tunnel round trip."""
+    pages = chunk // page_size
+    tokens = packed[:, :chunk]
+    chunk_page_ids = packed[:, chunk : chunk + pages]
+    last_index = packed[:, chunk + pages]
+    start = packed[:, chunk + pages + 1]
+    page_table = packed[:, chunk + pages + 2 :]
+    positions = start[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    return tokens, positions, page_table, chunk_page_ids, last_index
+
+
+@functools.partial(
+    jax.jit, static_argnums=(0, 4, 5), donate_argnums=(2,)
+)
+def prefill_chunk_packed(
+    spec: ModelSpec,
+    params: dict,
+    cache: PagedKVCache,
+    packed: jax.Array,  # [P, chunk + chunk//page + 2 + W] int32
+    chunk: int,
+    use_kernel: bool = False,
+) -> Tuple[PagedKVCache, jax.Array]:
+    """prefill_chunk with single-buffer staging (see _unpack_prefill)."""
+    interpret = jax.default_backend() != "tpu"
+    tokens, positions, page_table, chunk_page_ids, last_index = (
+        _unpack_prefill(packed, chunk, cache.page_size)
+    )
+    return _prefill_impl(
+        spec, params, cache, tokens, positions, page_table,
+        chunk_page_ids, last_index,
+        use_kernel=use_kernel, interpret=interpret,
+    )
+
+
 # ----------------------------------------------------------------------
 # decode
 # ----------------------------------------------------------------------
@@ -448,18 +487,41 @@ def make_sharded_prefill_chunk(
     params: dict,
     cache: PagedKVCache,
     use_kernel: bool = False,
+    chunk: Optional[int] = None,
 ):
     """Tensor-parallel prefill dispatch: _prefill_impl inside shard_map.
 
     Prefill under GSPMD would feed the Pallas quant-matmul custom calls
     global shapes the partitioner cannot split; under shard_map each shard
-    runs them on its own columns/rows (see make_sharded_decode_steps)."""
+    runs them on its own columns/rows (see make_sharded_decode_steps).
+
+    With `chunk` set the returned function takes the PACKED single-buffer
+    staging form (see _unpack_prefill): f(params, cache, packed); without
+    it, the legacy 7-argument form."""
     from jax.sharding import PartitionSpec as P
 
     local_spec = _local_shard_spec(spec, mesh)
     param_specs = jax.tree.map(lambda l: l.sharding.spec, params)
     cache_specs = jax.tree.map(lambda l: l.sharding.spec, cache)
     interpret = jax.default_backend() != "tpu"
+    page_size = cache.page_size
+
+    if chunk is not None:
+        def inner_packed(params, cache, packed):
+            args = _unpack_prefill(packed, chunk, page_size)
+            return _prefill_impl(
+                local_spec, params, cache, *args, tp_axis="tp",
+                use_kernel=use_kernel, interpret=interpret,
+            )
+
+        sharded = jax.shard_map(
+            inner_packed,
+            mesh=mesh,
+            in_specs=(param_specs, cache_specs, P()),
+            out_specs=(cache_specs, P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(1,))
 
     def inner(params, cache, tokens, positions, page_table,
               chunk_page_ids, last_index):
