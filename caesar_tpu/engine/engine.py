@@ -319,10 +319,22 @@ class Engine:
 
     # ------------------------------------------------------------------
     def _hbm_bytes(self) -> int:
+        """Device HBM capacity: feeds _auto_pages and _auto_prefill_tokens.
+
+        Asks PJRT first (memory_stats()['bytes_limit']) so v4/v5p/v6e chips
+        size the pool and prefill budget from their real HBM instead of a
+        v5e-sized constant; falls back to 16 GiB only when the backend does
+        not report (e.g. the axon tunnel plugin)."""
         try:
             dev = jax.devices()[0]
             if dev.platform == "tpu":
-                return 16 * 2 ** 30  # v5e
+                try:
+                    limit = (dev.memory_stats() or {}).get("bytes_limit", 0)
+                except Exception:
+                    limit = 0
+                if limit and limit > 2 ** 30:
+                    return int(limit)
+                return 16 * 2 ** 30  # v5e / unknown
         except Exception:
             pass
         return 4 * 2 ** 30  # CPU tests: keep it small
@@ -578,6 +590,10 @@ class Engine:
             and len(self._prefilling) < full
             and all(s.prefilled == 0 for s in self._prefilling)
             and any(s is not None for s in self._slots)
+            # only defer when a co-rider can actually arrive this pass —
+            # waiting on an empty admission queue just costs the lone
+            # request one decode chunk of TTFT
+            and (not self._pending.empty() or bool(self._preempted))
         ):
             self._prefill_deferred = True
             return False  # let a decode chunk run; retry next pass
@@ -596,6 +612,13 @@ class Engine:
                 self._preempt(seq)
                 continue
             seq.pages.extend(new_pages)
+            # full-chunk-allocation invariant the prefill kernel's
+            # n_pages_row depends on (ops/prefill_attention.py): every page
+            # covering [0, start + chunk) exists, even for a partial final
+            # chunk — tail DMAs must never hit unallocated table slots
+            assert len(seq.pages) == (start + chunk) // self.page_size, (
+                len(seq.pages), start, chunk, self.page_size
+            )
             real_t = min(len(all_tokens) - start, chunk)
             rows.append((seq, real_t, new_pages))
             need_max = max(need_max, -(-(start + chunk) // self.page_size))

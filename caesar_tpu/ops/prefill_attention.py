@@ -28,6 +28,13 @@ Layout:
   come from the scalar-prefetched tables.  Tail page ids past the row's
   written length clamp to the reserved scratch page 0 (never uninitialized
   VMEM) and are causally masked.
+* INVARIANT (relied on by n_pages_row): the caller allocates and writes
+  ALL ceil((start + chunk) / page_size) pages of the dispatched chunk,
+  even when the final chunk is partial — the engine allocates
+  n_chunk_pages unconditionally per chunk and the page writer fills them
+  (padding tokens land in the allocated tail page).  If allocation ever
+  became real_t-based, the tail DMAs here would read unwritten page-table
+  slots.  engine._prefill_one_chunk asserts this after allocation.
 * FP8 pools upcast via the same integer bit trick as the decode kernel
   (_upcast_kv), then to bf16 for the MXU.
 
@@ -107,9 +114,18 @@ def _pick_geometry(
     forced_bt = int(os.environ.get("CAESAR_PREFILL_BT", "0"))
     forced_sblk = int(os.environ.get("CAESAR_PREFILL_SBLK", "0"))
     if forced_bt and forced_sblk:  # tuning sweeps only
-        return _pick_bt(t, forced_bt), max(
-            forced_sblk // page_size, 1
-        ) * page_size
+        bt = _pick_bt(t, forced_bt)
+        sblk = max(forced_sblk // page_size, 1) * page_size
+        if _vmem_est(bt, sblk, n_kv, group, hd, kv_bytes) > _VMEM_TARGET:
+            import warnings
+
+            warnings.warn(
+                f"forced prefill geometry (bt={bt}, sblk={sblk}) estimates "
+                f"{_vmem_est(bt, sblk, n_kv, group, hd, kv_bytes) / 2**20:.1f}"
+                f" MB of scoped VMEM (> target "
+                f"{_VMEM_TARGET / 2**20:.1f} MB) and may fail to compile"
+            )
+        return bt, sblk
     for cand_bt, cand_sblk in _GEOMETRIES:
         bt = _pick_bt(t, cand_bt)
         sblk = max(cand_sblk // page_size, 1) * page_size
