@@ -21,6 +21,7 @@ fused dequant matmul — so the same model code serves bf16, INT8, and INT4.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -197,6 +198,26 @@ def attention_full(
 def mlp(params: dict, x: jax.Array, tp_axis: Optional[str] = None) -> jax.Array:
     """tp_axis: the down projection is row-parallel under TP; the caller
     psums the returned partial outside."""
+    if quant_lib._use_pallas() and not os.environ.get(
+        "CAESAR_DISABLE_FUSED_MLP"
+    ):
+        # decode hot path: fused gate_up + SiLU kernel (ops/mlp_fused.py)
+        # removes the f32 intermediate's HBM round trips; the down
+        # projection keeps its existing per-column kernel + per-token
+        # re-quantization, so numerics match the unfused path
+        from caesar_tpu.ops import mlp_fused
+
+        leading = x.shape[:-1]
+        m_total = 1
+        for d in leading:
+            m_total *= d
+        ok, _ = mlp_fused.supports(params, m_total)
+        if ok:
+            h = mlp_fused.gateup_silu(
+                params, x.reshape(m_total, x.shape[-1]), tp_axis
+            )
+            h = h.reshape(*leading, h.shape[-1])
+            return linear(h, params["down"], tp_axis=tp_axis)
     if "gate_up" in params:  # fused layout (quant.fuse_params)
         gu = linear(x, params["gate_up"])
         hidden = gu.shape[-1] // 2

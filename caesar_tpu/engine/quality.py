@@ -124,6 +124,22 @@ def quant_quality_report(
             ppl_pc = perplexity(spec, pc_params, token_ids)
             report["ppl_w8a8_percol"] = ppl_pc
             report["delta_w8a8_percol"] = (ppl_pc - base) / base
+        if bits == 4:
+            # w4a8 (int4 weights + int8 activations + nibble-bias rowsum
+            # correction) — round 4's best-decode config, previously
+            # served with an unmeasured quality delta (round-4 VERDICT
+            # missing item 5).  Grouped = serving default; per-column is
+            # the prefill-fast variant (native int8 dot at large M).
+            w4a8_params = quantize_params(
+                params, bits=4, group=group, act="int8"
+            )
+            ppl48 = perplexity(spec, w4a8_params, token_ids)
+            report["ppl_w4a8"] = ppl48
+            report["delta_w4a8"] = (ppl48 - base) / base
+            pc4_params = quantize_params(params, bits=4, group=0, act="int8")
+            ppl48pc = perplexity(spec, pc4_params, token_ids)
+            report["ppl_w4a8_percol"] = ppl48pc
+            report["delta_w4a8_percol"] = (ppl48pc - base) / base
     return report
 
 

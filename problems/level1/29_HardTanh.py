@@ -1,0 +1,21 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+class Model:
+    """Hard tanh: clamp to [-1, 1]."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, x):
+        return jnp.clip(x, -1.0, 1.0)
+
+
+def get_inputs():
+    x = np.random.randn(4096, 4096).astype(np.float32)
+    return [jnp.asarray(x)]
+
+
+def get_init_inputs():
+    return []

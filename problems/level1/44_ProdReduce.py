@@ -1,0 +1,21 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+class Model:
+    """Product reduction over the last dimension."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, x):
+        return jnp.prod(x, axis=-1)
+
+
+def get_inputs():
+    x = np.random.randn(4096, 256).astype(np.float32)
+    return [jnp.asarray(x)]
+
+
+def get_init_inputs():
+    return []

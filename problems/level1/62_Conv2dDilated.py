@@ -1,0 +1,28 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+class Model:
+    """Dilated 2D convolution (dilation 2)."""
+
+    def __init__(self, in_ch, out_ch, ksize):
+        scale = 1.0 / np.sqrt(in_ch * ksize * ksize)
+        self.w = jnp.asarray(
+            (np.random.randn(out_ch, in_ch, ksize, ksize) * scale).astype(np.float32)
+        )
+
+    def __call__(self, x):
+        return jax.lax.conv_general_dilated(
+            x, self.w, window_strides=(1, 1), padding="VALID",
+            rhs_dilation=(2, 2),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+
+
+def get_inputs():
+    x = np.random.randn(8, 16, 64, 64).astype(np.float32)
+    return [jnp.asarray(x)]
+
+
+def get_init_inputs():
+    return [16, 32, 3]

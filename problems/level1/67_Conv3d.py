@@ -1,0 +1,28 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+class Model:
+    """3D convolution (NCDHW, VALID padding)."""
+
+    def __init__(self, in_ch, out_ch, ksize):
+        scale = 1.0 / np.sqrt(in_ch * ksize ** 3)
+        self.w = jnp.asarray(
+            (np.random.randn(out_ch, in_ch, ksize, ksize, ksize) * scale)
+            .astype(np.float32)
+        )
+
+    def __call__(self, x):
+        return jax.lax.conv_general_dilated(
+            x, self.w, window_strides=(1, 1, 1), padding="VALID",
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        )
+
+
+def get_inputs():
+    x = np.random.randn(4, 8, 16, 32, 32).astype(np.float32)
+    return [jnp.asarray(x)]
+
+
+def get_init_inputs():
+    return [8, 16, 3]

@@ -1,0 +1,22 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+class Model:
+    """Mean absolute error."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, pred, target):
+        return jnp.mean(jnp.abs(pred - target))
+
+
+def get_inputs():
+    pred = np.random.randn(4096, 1024).astype(np.float32)
+    target = np.random.randn(4096, 1024).astype(np.float32)
+    return [jnp.asarray(pred), jnp.asarray(target)]
+
+
+def get_init_inputs():
+    return []

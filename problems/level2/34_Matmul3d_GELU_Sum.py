@@ -1,0 +1,26 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+class Model:
+    """Matmul3d followed by GELU, Sum."""
+
+    def __init__(self):
+        scale = 1.0 / np.sqrt(512)
+        self.w = jnp.asarray(
+            (np.random.randn(512, 512) * scale).astype(np.float32))
+
+    def __call__(self, x):
+        x = jnp.einsum("bsk,kn->bsn", x, self.w)
+        x = jax.nn.gelu(x, approximate=True)
+        x = jnp.sum(x, axis=-1)
+        return x
+
+
+def get_inputs():
+    x = np.random.randn(8, 256, 512).astype(np.float32)
+    return [jnp.asarray(x)]
+
+
+def get_init_inputs():
+    return []

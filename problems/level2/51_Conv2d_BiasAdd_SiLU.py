@@ -1,0 +1,29 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+class Model:
+    """Conv2d followed by BiasAdd, SiLU."""
+
+    def __init__(self):
+        scale = 1.0 / np.sqrt(16 * 9)
+        self.w = jnp.asarray(
+            (np.random.randn(32, 16, 3, 3) * scale).astype(np.float32))
+        self.bias0 = jnp.asarray(np.random.randn(32).astype(np.float32))
+
+    def __call__(self, x):
+        x = jax.lax.conv_general_dilated(
+            x, self.w, (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        x = x + self.bias0.reshape(1, 32, 1, 1)
+        x = x * jax.nn.sigmoid(x)
+        return x
+
+
+def get_inputs():
+    x = np.random.randn(8, 16, 32, 32).astype(np.float32)
+    return [jnp.asarray(x)]
+
+
+def get_init_inputs():
+    return []

@@ -1,0 +1,32 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+class Model:
+    """Conv2d followed by BatchNorm, LeakyReLU, MaxPool, GlobalAvgPool."""
+
+    def __init__(self):
+        scale = 1.0 / np.sqrt(16 * 9)
+        self.w = jnp.asarray(
+            (np.random.randn(32, 16, 3, 3) * scale).astype(np.float32))
+        self.bn_m0 = jnp.asarray(np.random.randn(32).astype(np.float32))
+        self.bn_v0 = jnp.asarray((np.random.rand(32) + 0.5).astype(np.float32))
+
+    def __call__(self, x):
+        x = jax.lax.conv_general_dilated(
+            x, self.w, (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        x = (x - self.bn_m0.reshape(1, 32, 1, 1)) * jax.lax.rsqrt(self.bn_v0.reshape(1, 32, 1, 1) + 1e-5)
+        x = jnp.where(x >= 0, x, 0.01 * x)
+        x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+        x = jnp.mean(x, axis=(2, 3))
+        return x
+
+
+def get_inputs():
+    x = np.random.randn(8, 16, 32, 32).astype(np.float32)
+    return [jnp.asarray(x)]
+
+
+def get_init_inputs():
+    return []

@@ -1,0 +1,30 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+class Model:
+    """DWConv2d followed by BatchNorm, HardSwish."""
+
+    def __init__(self):
+        scale = 1.0 / np.sqrt(9)
+        self.w = jnp.asarray(
+            (np.random.randn(32, 1, 3, 3) * scale).astype(np.float32))
+        self.bn_m0 = jnp.asarray(np.random.randn(32).astype(np.float32))
+        self.bn_v0 = jnp.asarray((np.random.rand(32) + 0.5).astype(np.float32))
+
+    def __call__(self, x):
+        x = jax.lax.conv_general_dilated(
+            x, self.w, (1, 1), "SAME", feature_group_count=32,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        x = (x - self.bn_m0.reshape(1, 32, 1, 1)) * jax.lax.rsqrt(self.bn_v0.reshape(1, 32, 1, 1) + 1e-5)
+        x = x * jnp.clip(x / 6.0 + 0.5, 0.0, 1.0)
+        return x
+
+
+def get_inputs():
+    x = np.random.randn(8, 32, 32, 32).astype(np.float32)
+    return [jnp.asarray(x)]
+
+
+def get_init_inputs():
+    return []

@@ -1,0 +1,32 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+class Model:
+    """DWConv2d followed by InstanceNorm, SiLU, Residual."""
+
+    def __init__(self):
+        scale = 1.0 / np.sqrt(9)
+        self.w = jnp.asarray(
+            (np.random.randn(32, 1, 3, 3) * scale).astype(np.float32))
+
+    def __call__(self, x):
+        x = jax.lax.conv_general_dilated(
+            x, self.w, (1, 1), "SAME", feature_group_count=32,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        x0 = x
+        mean = jnp.mean(x, axis=(2, 3), keepdims=True)
+        var = jnp.var(x, axis=(2, 3), keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        x = x * jax.nn.sigmoid(x)
+        x = x + x0
+        return x
+
+
+def get_inputs():
+    x = np.random.randn(8, 32, 32, 32).astype(np.float32)
+    return [jnp.asarray(x)]
+
+
+def get_init_inputs():
+    return []

@@ -1,0 +1,30 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+class Model:
+    """Conv1d followed by BatchNorm, SiLU."""
+
+    def __init__(self):
+        scale = 1.0 / np.sqrt(32 * 5)
+        self.w = jnp.asarray(
+            (np.random.randn(64, 32, 5) * scale).astype(np.float32))
+        self.bn_m0 = jnp.asarray(np.random.randn(64).astype(np.float32))
+        self.bn_v0 = jnp.asarray((np.random.rand(64) + 0.5).astype(np.float32))
+
+    def __call__(self, x):
+        x = jax.lax.conv_general_dilated(
+            x, self.w, (1,), "SAME",
+            dimension_numbers=("NCH", "OIH", "NCH"))
+        x = (x - self.bn_m0.reshape(1, 64, 1)) * jax.lax.rsqrt(self.bn_v0.reshape(1, 64, 1) + 1e-5)
+        x = x * jax.nn.sigmoid(x)
+        return x
+
+
+def get_inputs():
+    x = np.random.randn(16, 32, 1024).astype(np.float32)
+    return [jnp.asarray(x)]
+
+
+def get_init_inputs():
+    return []

@@ -1,0 +1,53 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+def _mat(m, n):
+    return jnp.asarray((np.random.randn(m, n) / np.sqrt(m)).astype(np.float32))
+
+
+def _causal_mha(x, wq, wk, wv, wo, heads):
+    b, s, d = x.shape
+    hd = d // heads
+
+    def split(t):
+        return t.reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = split(x @ wq), split(x @ wk), split(x @ wv)
+    scores = q @ k.transpose(0, 1, 3, 2) / jnp.sqrt(jnp.float32(hd))
+    mask = jnp.tril(jnp.ones((s, s), dtype=bool))
+    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    o = jax.nn.softmax(scores, axis=-1) @ v
+    return o.transpose(0, 2, 1, 3).reshape(b, s, d) @ wo
+
+
+def _rms(x, g):
+    return x * jax.lax.rsqrt(
+        jnp.mean(jnp.square(x), axis=-1, keepdims=True) + 1e-6) * g
+
+
+class Model:
+    """Post-norm causal transformer block (norm after residual)."""
+
+    def __init__(self, dim, heads, hidden):
+        self.heads = heads
+        self.g1 = jnp.asarray(np.ones(dim, dtype=np.float32))
+        self.g2 = jnp.asarray(np.ones(dim, dtype=np.float32))
+        self.wq, self.wk = _mat(dim, dim), _mat(dim, dim)
+        self.wv, self.wo = _mat(dim, dim), _mat(dim, dim)
+        self.w1, self.w2 = _mat(dim, hidden), _mat(hidden, dim)
+
+    def __call__(self, x):
+        x = _rms(x + _causal_mha(
+            x, self.wq, self.wk, self.wv, self.wo, self.heads), self.g1)
+        return _rms(
+            x + jax.nn.gelu(x @ self.w1, approximate=True) @ self.w2, self.g2)
+
+
+def get_inputs():
+    x = np.random.randn(4, 256, 256).astype(np.float32)
+    return [jnp.asarray(x)]
+
+
+def get_init_inputs():
+    return [256, 8, 1024]

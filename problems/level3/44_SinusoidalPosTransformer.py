@@ -1,0 +1,57 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+def _mat(m, n):
+    return jnp.asarray((np.random.randn(m, n) / np.sqrt(m)).astype(np.float32))
+
+
+def _causal_mha(x, wq, wk, wv, wo, heads):
+    b, s, d = x.shape
+    hd = d // heads
+
+    def split(t):
+        return t.reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = split(x @ wq), split(x @ wk), split(x @ wv)
+    scores = q @ k.transpose(0, 1, 3, 2) / jnp.sqrt(jnp.float32(hd))
+    mask = jnp.tril(jnp.ones((s, s), dtype=bool))
+    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    o = jax.nn.softmax(scores, axis=-1) @ v
+    return o.transpose(0, 2, 1, 3).reshape(b, s, d) @ wo
+
+
+def _rms(x, g):
+    return x * jax.lax.rsqrt(
+        jnp.mean(jnp.square(x), axis=-1, keepdims=True) + 1e-6) * g
+
+
+class Model:
+    """Sinusoidal positional encoding added before a causal block."""
+
+    def __init__(self, dim, heads, hidden):
+        self.heads = heads
+        self.dim = dim
+        self.wq, self.wk = _mat(dim, dim), _mat(dim, dim)
+        self.wv, self.wo = _mat(dim, dim), _mat(dim, dim)
+        self.w1, self.w2 = _mat(dim, hidden), _mat(hidden, dim)
+
+    def __call__(self, x):
+        b, s, d = x.shape
+        pos = jnp.arange(s, dtype=jnp.float32)[:, None]
+        i = jnp.arange(d // 2, dtype=jnp.float32)[None, :]
+        ang = pos / (10000.0 ** (2 * i / d))
+        pe = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+        x = x + pe[None]
+        x = x + _causal_mha(
+            x, self.wq, self.wk, self.wv, self.wo, self.heads)
+        return x + jnp.maximum(x @ self.w1, 0.0) @ self.w2
+
+
+def get_inputs():
+    x = np.random.randn(4, 256, 256).astype(np.float32)
+    return [jnp.asarray(x)]
+
+
+def get_init_inputs():
+    return [256, 8, 1024]

@@ -1,0 +1,30 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+class Model:
+    """Pre-norm SwiGLU feed-forward with residual."""
+
+    def __init__(self, dim, hidden):
+        s1 = 1.0 / np.sqrt(dim)
+        s2 = 1.0 / np.sqrt(hidden)
+        self.ln = jnp.asarray(np.ones(dim, dtype=np.float32))
+        self.wg = jnp.asarray((np.random.randn(dim, hidden) * s1).astype(np.float32))
+        self.wu = jnp.asarray((np.random.randn(dim, hidden) * s1).astype(np.float32))
+        self.wd = jnp.asarray((np.random.randn(hidden, dim) * s2).astype(np.float32))
+
+    def __call__(self, x):
+        h = x * jax.lax.rsqrt(
+            jnp.mean(jnp.square(x), axis=-1, keepdims=True) + 1e-6
+        ) * self.ln
+        g = h @ self.wg
+        return x + ((g * jax.nn.sigmoid(g)) * (h @ self.wu)) @ self.wd
+
+
+def get_inputs():
+    x = np.random.randn(512, 1024).astype(np.float32)
+    return [jnp.asarray(x)]
+
+
+def get_init_inputs():
+    return [1024, 2816]

@@ -65,8 +65,10 @@ def loop_time(make_step, x0, iters, extras=(), _cache={}):
 
 
 def probe(name, make_step, x0, bytes_per_iter, extras=()):
-    t_big = loop_time(make_step, x0, ITERS, extras)
-    t_small = loop_time(make_step, x0, SMALL, extras)
+    # min-of-3 per span: the axon tunnel injects random multi-second
+    # stalls that otherwise poison (even negate) the differential
+    t_big = min(loop_time(make_step, x0, ITERS, extras) for _ in range(3))
+    t_small = min(loop_time(make_step, x0, SMALL, extras) for _ in range(3))
     ms = (t_big - t_small) / (ITERS - SMALL) * 1e3
     gbps = bytes_per_iter / (ms / 1e3) / 1e9
     print(f"{name}: {ms:8.4f} ms  ({gbps:7.1f} GB/s)", flush=True)
@@ -137,7 +139,7 @@ def probe_attn():
     NKV, G, HD = 4, 7, 128
     PAGE = int(os.environ.get("PROBE_PAGE", "64"))
     MAXP = 2048 // PAGE
-    n_pages = 4096 * 64 // PAGE  # constant pool BYTES across page sizes
+    n_pages = int(os.environ.get("PROBE_PAGES", str(4096 * 64 // PAGE)))
     ctx = int(os.environ.get("PROBE_CTX", "384"))
     n_layers = int(os.environ.get("PROBE_LAYERS", "1"))  # pool layer count
 

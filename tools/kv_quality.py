@@ -19,6 +19,12 @@ import json
 import os
 import sys
 
+# CPU-only measurement: the axon sitecustomize force-registers the TPU
+# plugin regardless of JAX_PLATFORMS — strip it so this tool NEVER grabs
+# the (exclusive) TPU out from under a running bench/probe
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 

@@ -176,9 +176,10 @@ def main() -> None:
         bk, bn = tiles
 
         def run(label, step, x0, extras=()):
-            t_big = loop_time(step, x0, 200, extras)
-            t_small = loop_time(step, x0, 20, extras)
-            ms = (t_big - t_small) / 180 * 1e3
+            iters = int(os.environ.get('PROBE_ITERS', '600'))
+            t_big = loop_time(step, x0, iters, extras)
+            t_small = loop_time(step, x0, iters // 10, extras)
+            ms = (t_big - t_small) / (iters - iters // 10) * 1e3
             print(f"  {label:34s} {ms:8.4f} ms  "
                   f"({qbytes / (ms / 1e3) / 1e9:7.1f} GB/s)", flush=True)
             return ms

@@ -1,0 +1,71 @@
+"""Quantization quality scorecard CLI (round-5 VERDICT item 8).
+
+Runs engine/quality.py's quant_quality_report — perplexity of the dense
+model vs each quantization of the SAME weights — so every serving mode's
+quality delta (incl. w4a8 grouped and per-column, round 4's unmeasured
+best-decode config) is a checkable number.  Random seeded init reproduces
+the weight/activation distributions at the right scale; real-checkpoint
+deltas are re-measured whenever weights are available (docs/ENGINE.md).
+
+    JAX_PLATFORMS=cpu python tools/quality_scorecard.py [model] [n] [len]
+
+Prints one JSON line; commit it to docs/QUALITY_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+# CPU-only measurement: the axon sitecustomize force-registers the TPU
+# plugin regardless of JAX_PLATFORMS — strip it so this tool NEVER grabs
+# the (exclusive) TPU out from under a running bench/probe
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    model = sys.argv[1] if len(sys.argv) > 1 else "qwen2.5-coder-0.5b"
+    n_texts = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    max_len = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+
+    import jax.numpy as jnp
+
+    from caesar_tpu.engine.model import get_spec
+    from caesar_tpu.engine.quality import (
+        quant_quality_report,
+        token_stream,
+    )
+    from caesar_tpu.engine.tokenizer import ByteTokenizer
+    from caesar_tpu.engine.weights import init_params
+
+    spec = get_spec(model)
+    params = init_params(spec, seed=0, dtype=jnp.float32)
+    texts = [
+        f"def kernel_{i}(x):\n    # pallas tpu matmul variant {i}\n"
+        + "    acc = jnp.zeros((128, 128), jnp.float32)\n" * (i % 4 + 1)
+        + "    return acc\n"
+        for i in range(n_texts)
+    ]
+    ids = token_stream(ByteTokenizer(), texts, max_len=max_len)
+    report = quant_quality_report(spec, params, ids)
+    print(
+        json.dumps(
+            {
+                "metric": f"quant_quality_{model}",
+                "note": (
+                    "identical-weights ppl deltas, seeded random init "
+                    "(no checkpoints on this machine); deltas are the "
+                    "quant-degradation metric"
+                ),
+                **{k: round(float(v), 6) for k, v in report.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -171,12 +171,33 @@ def main() -> None:
         cache, state = c, s
         return dt
 
+    # tunnel health check: a trivial dot must come back fast.  A degraded
+    # session (leaked lease / prior RESOURCE_EXHAUSTED) inflates every
+    # number 5-20x — abort instead of printing garbage.
+    import time as _time
+
+    a = jnp.ones((256, 256), jnp.bfloat16)
+    float(jnp.sum(jnp.dot(a, a)))  # warm
+    _t0 = _time.perf_counter()
+    float(jnp.sum(jnp.dot(a, a)))
+    _dot_s = _time.perf_counter() - _t0
+    if _dot_s > 1.0:
+        raise SystemExit(
+            f"TPU session degraded: trivial dot took {_dot_s:.2f}s "
+            "(expect <0.1s warm). Wait for the lease to clear and retry."
+        )
+
     run_decode(1)  # compile
-    t8 = run_decode(8)
-    t2 = run_decode(2)
-    step_ms = (t8 - t2) / (6 * n_steps) * 1e3
+    # tunnel stalls are additive and transient (multi-second, random):
+    # min-filter each span over 3 repeats — a stalled small span otherwise
+    # produces impossible (even negative) differentials
+    t_big = min(run_decode(16) for _ in range(3))
+    t_small = min(run_decode(2) for _ in range(3))
+    step_ms = (t_big - t_small) / (14 * n_steps) * 1e3
     print(f"decode step total: {step_ms:8.3f} ms  "
           f"({batch / (step_ms / 1e3):,.0f} tok/s at B={batch})")
+    if os.environ.get("PROBE_ONLY") == "step":
+        return
 
     # ---- components (differential in-jit loops) ----------------------
     layer = params["layers"][0]
@@ -188,9 +209,25 @@ def main() -> None:
     def comp(name, make_step, x0, extras=(), per_layer=True):
         # NB: weights always travel via extras (jit ARGUMENTS) — closures
         # ship them as constants in the remote-compile request (HTTP 413)
-        t_big = loop_time(make_step, x0, 200, extras)
-        t_small = loop_time(make_step, x0, 20, extras)
-        ms = (t_big - t_small) / 180 * 1e3
+        # PROBE_ITERS: sub-ms ops need >= ~600 iterations for the
+        # differential to rise above the axon tunnel's +-10 ms dispatch
+        # noise (round-5 finding: 200-iteration differentials reported
+        # impossible >HBM rates)
+        iters = int(os.environ.get("PROBE_ITERS", "200"))
+        try:
+            # min-of-3: tunnel stalls are additive + transient
+            t_big = min(
+                loop_time(make_step, x0, iters, extras) for _ in range(3)
+            )
+            t_small = min(
+                loop_time(make_step, x0, iters // 10, extras)
+                for _ in range(3)
+            )
+        except Exception as e:  # keep later comps alive (e.g. pool OOM)
+            print(f"  [{name}: FAILED {type(e).__name__}]", flush=True)
+            comps[name] = (float("nan"), per_layer)
+            return
+        ms = (t_big - t_small) / (iters - iters // 10) * 1e3
         comps[name] = (ms, per_layer)
         print(f"  [{name}: {ms:.4f} ms]", flush=True)
 
