@@ -185,6 +185,10 @@ class RunConfig:
     num_workers: int = 16
     #: concurrent kernel-eval slots (host CPU processes)
     eval_workers: int = 2
+    #: 0 = run the full (problem x sample) sweep; N > 0 truncates the work
+    #: list to its first N trajectories (benchmark legs, see
+    #: tools/bench_harness.py — not a sweep-semantics knob)
+    limit_trajectories: int = 0
 
     # --- eval sandbox ---
     #: mock | jax | torch_cpu

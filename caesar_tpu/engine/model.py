@@ -198,13 +198,13 @@ def attention_full(
 def mlp(params: dict, x: jax.Array, tp_axis: Optional[str] = None) -> jax.Array:
     """tp_axis: the down projection is row-parallel under TP; the caller
     psums the returned partial outside."""
-    if quant_lib._use_pallas() and not os.environ.get(
-        "CAESAR_DISABLE_FUSED_MLP"
-    ):
-        # decode hot path: fused gate_up + SiLU kernel (ops/mlp_fused.py)
-        # removes the f32 intermediate's HBM round trips; the down
-        # projection keeps its existing per-column kernel + per-token
-        # re-quantization, so numerics match the unfused path
+    if quant_lib._use_pallas() and os.environ.get("CAESAR_FUSED_MLP"):
+        # OPT-IN (round 5, measured): the fused gate_up + SiLU kernel
+        # (ops/mlp_fused.py) removes the f32 intermediate's HBM round
+        # trips, but a clean same-process A/B measured it NEUTRAL
+        # (+0.03 ms/step at 7B B=48) — XLA already fuses the glue chain
+        # into ~one pass at this batch.  Kept opt-in for larger decode
+        # batches (TP shards, bigger M) where the intermediate is fatter.
         from caesar_tpu.ops import mlp_fused
 
         leading = x.shape[:-1]

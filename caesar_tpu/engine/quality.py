@@ -128,14 +128,21 @@ def quant_quality_report(
             # w4a8 (int4 weights + int8 activations + nibble-bias rowsum
             # correction) — round 4's best-decode config, previously
             # served with an unmeasured quality delta (round-4 VERDICT
-            # missing item 5).  Grouped = serving default; per-column is
-            # the prefill-fast variant (native int8 dot at large M).
+            # missing item 5).  Default = free grouped scales; the rank-1
+            # (prefill-fast, opt-in) and per-column variants are scored
+            # as their own line items.
             w4a8_params = quantize_params(
                 params, bits=4, group=group, act="int8"
             )
             ppl48 = perplexity(spec, w4a8_params, token_ids)
             report["ppl_w4a8"] = ppl48
             report["delta_w4a8"] = (ppl48 - base) / base
+            r1_params = quantize_params(
+                params, bits=4, group=group, act="int8", rank1=True
+            )
+            ppl48r = perplexity(spec, r1_params, token_ids)
+            report["ppl_w4a8_rank1"] = ppl48r
+            report["delta_w4a8_rank1"] = (ppl48r - base) / base
             pc4_params = quantize_params(params, bits=4, group=0, act="int8")
             ppl48pc = perplexity(spec, pc4_params, token_ids)
             report["ppl_w4a8_percol"] = ppl48pc

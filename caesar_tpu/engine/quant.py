@@ -40,7 +40,9 @@ DEFAULT_GROUP = 128
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["qweight", "scales"],
-    meta_fields=["bits", "group", "out_features", "in_features", "act"],
+    meta_fields=[
+        "bits", "group", "out_features", "in_features", "act", "rank1",
+    ],
 )
 @dataclasses.dataclass
 class QuantizedLinear:
@@ -53,6 +55,13 @@ class QuantizedLinear:
         (w8a8: activations quantized per-token-per-group at runtime and the
         MXU runs native int8xint8->int32 — no per-weight VPU dequant work,
         so the matmul is HBM-DMA-bound instead of VPU-bound).
+    rank1: grouped scales are CONSTRAINED to a row (x) col outer product
+        with row[0] == 1 (see _rank1_scales).  Decode kernels consume the
+        stored product exactly as free grouped scales; the large-M
+        (prefill) path recovers the factors, folds row[g] into the
+        activations BEFORE per-token int8 quantization, and runs ONE
+        native full-K int8 dot rescaled by col — grouped-scale quality at
+        per-column-path prefill speed (the round-4 w4a8 prefill gap).
     """
 
     qweight: jax.Array
@@ -62,6 +71,7 @@ class QuantizedLinear:
     out_features: int
     in_features: int
     act: str = "none"
+    rank1: bool = False
 
     @property
     def w4a8(self) -> bool:
@@ -74,12 +84,30 @@ class QuantizedLinear:
         return self.bits == 4 and self.act == "int8" and self.scales.ndim == 3
 
 
+def _rank1_scales(scales: np.ndarray) -> np.ndarray:
+    """Constrain free grouped scales S [G, N] to row (x) col, row[0] = 1.
+
+    row is the least-squares fit in log space (the per-group magnitude
+    profile); col then COVERS the free scales per column
+    (col[n] = max_g S[g, n] / row[g]), so the constrained scale is >= the
+    free one everywhere — no weight ever clips, groups whose free scale
+    was smaller just quantize with a slightly coarser step (the residual
+    spread of S across groups, small for LLM linear weights)."""
+    logs = np.log(scales)
+    lr = logs.mean(axis=1)
+    lr = lr - lr[0]  # normalize row[0] = 1 so col is recoverable as S[0]
+    row = np.exp(lr)[:, None]  # [G, 1]
+    col = np.max(scales / row, axis=0, keepdims=True)  # [1, N]
+    return (row * col).astype(np.float32)
+
+
 def quantize_weight(
     w: jax.Array | np.ndarray,
     bits: Literal[4, 8],
     group: int = DEFAULT_GROUP,
     act: str = "none",
     planar: bool | None = None,
+    rank1: bool | None = None,
 ) -> QuantizedLinear:
     """Symmetric per-group quantization of an [in, out] weight.
 
@@ -105,13 +133,25 @@ def quantize_weight(
     grouped = w.reshape(d_in // group, group, d_out)
     absmax = np.abs(grouped).max(axis=1)  # [n_groups, out]
     scales = np.maximum(absmax / qmax, 1e-8).astype(np.float32)
+    if planar is None:
+        planar = d_out % 64 == 0
+    if rank1 is None:
+        # default OFF: rank-1 makes the large-M path one native int8 dot,
+        # but the scorecard measured its identical-weights ppl delta at
+        # 13.2% vs free-grouped's 3.1% on random init (docs/QUALITY_r5
+        # .json) — the covering col inflates every group's step when the
+        # weight rows have no magnitude profile.  It remains an explicit
+        # opt-in for real checkpoints, whose grouped-scale row structure
+        # is what the factorization exploits.
+        rank1 = False
+    rank1 = bool(rank1) and group < d_in  # per-column is trivially rank-1
+    if rank1:
+        scales = _rank1_scales(scales)
     q = np.clip(
         np.rint(grouped / scales[:, None, :]), -qmax, qmax
     ).astype(np.int8)
     q = q.reshape(d_in, d_out)
 
-    if planar is None:
-        planar = d_out % 64 == 0
     if bits == 4 and act == "int8" and planar and d_out % 64 == 0:
         # w4a8: COLUMN-planar biased packing.  A byte at [k, 32*b + o]
         # (o < 32) holds columns 64*b + o (low nibble) and 64*b + 32 + o
@@ -149,6 +189,7 @@ def quantize_weight(
         out_features=d_out,
         in_features=d_in,
         act=str(act),
+        rank1=rank1,
     )
 
 
@@ -211,6 +252,20 @@ def _unplanarize_scales(scales: jax.Array) -> jax.Array:
     g, _, half = scales.shape
     s = scales.reshape(g, 2, half // 32, 32)
     return jnp.swapaxes(s, 1, 2).reshape(g, 2 * half)
+
+
+def rank1_factors(w: "QuantizedLinear"):
+    """Recover (row [G], col [N]) factors from a rank1 QuantizedLinear's
+    stored planar PRODUCT scales.
+
+    row[0] == 1 by construction (_rank1_scales), so col is exactly the
+    stored first scale row; row is averaged over columns to wash out the
+    bf16 storage rounding of the products (each ratio is row_g within one
+    bf16 ulp — the mean is row_g to ~2^-8/sqrt(N))."""
+    s = _unplanarize_scales(w.scales).astype(jnp.float32)
+    col = s[0]
+    row = jnp.mean(s / col[None, :], axis=1)
+    return row, col
 
 
 def local_dims(w: QuantizedLinear) -> Tuple[int, int, int]:
@@ -303,6 +358,7 @@ def quantize_params(
     bits: Literal[4, 8],
     group: int = DEFAULT_GROUP,
     act: str = "none",
+    rank1: bool | None = None,
 ):
     """Quantize every linear weight of a model params tree (embeddings and
     norms stay bf16, matching weight-only serving practice)."""
@@ -323,12 +379,13 @@ def quantize_params(
         new_layer = dict(layer)
         for key in ("wq", "wk", "wv", "wo"):
             new_layer[key] = quantize_weight(
-                layer[key], bits, group, act, planar=planar
+                layer[key], bits, group, act, planar=planar, rank1=rank1
             )
         new_mlp = dict(layer["mlp"])
         for key in ("gate", "up", "down"):
             new_mlp[key] = quantize_weight(
-                layer["mlp"][key], bits, group, act, planar=planar
+                layer["mlp"][key], bits, group, act, planar=planar,
+                rank1=rank1,
             )
         new_layer["mlp"] = new_mlp
         quantized_layers.append(new_layer)
@@ -337,11 +394,22 @@ def quantize_params(
     return out
 
 
+def _fusable(parts) -> bool:
+    """rank-1 parts cannot concat along out: each part's scales are
+    row_p (x) col_p with DIFFERENT row factors, so the concatenation is
+    rank-2 and the large-M factorized path would silently miscompute.
+    fuse_params keeps such parts separate."""
+    return not any(
+        isinstance(p, QuantizedLinear) and p.rank1 for p in parts
+    )
+
+
 def _concat_out(parts):
     """Concatenate [in, out_i] weights (dense or quantized) along out."""
     if isinstance(parts[0], QuantizedLinear):
         bits = parts[0].bits
         group = parts[0].group
+        assert _fusable(parts), "rank-1 scaled parts must not be fused"
         assert all(p.bits == bits and p.group == group for p in parts)
         # w4a8 planar concat is exact: packed-col blocks map positionally
         # to true-col blocks, so concatenating packed cols (and the planar
@@ -374,20 +442,24 @@ def fuse_params(params: dict) -> dict:
     layers = []
     for layer in params["layers"]:
         new = dict(layer)
-        new["wqkv"] = _concat_out([layer["wq"], layer["wk"], layer["wv"]])
-        for key in ("wq", "wk", "wv"):
-            del new[key]
-        if "bq" in layer:
-            new["bqkv"] = jnp.concatenate(
-                [layer["bq"], layer["bk"], layer["bv"]]
+        if _fusable([layer["wq"], layer["wk"], layer["wv"]]):
+            new["wqkv"] = _concat_out(
+                [layer["wq"], layer["wk"], layer["wv"]]
             )
-            for key in ("bq", "bk", "bv"):
+            for key in ("wq", "wk", "wv"):
                 del new[key]
+            if "bq" in layer:
+                new["bqkv"] = jnp.concatenate(
+                    [layer["bq"], layer["bk"], layer["bv"]]
+                )
+                for key in ("bq", "bk", "bv"):
+                    del new[key]
         new_mlp = dict(layer["mlp"])
-        new_mlp["gate_up"] = _concat_out(
-            [layer["mlp"]["gate"], layer["mlp"]["up"]]
-        )
-        del new_mlp["gate"], new_mlp["up"]
+        if _fusable([layer["mlp"]["gate"], layer["mlp"]["up"]]):
+            new_mlp["gate_up"] = _concat_out(
+                [layer["mlp"]["gate"], layer["mlp"]["up"]]
+            )
+            del new_mlp["gate"], new_mlp["up"]
         new["mlp"] = new_mlp
         layers.append(new)
     out["layers"] = layers

@@ -343,25 +343,12 @@ def _decode_one(
     write_slots_s = split(write_slots)
     skip_s = split(state.done | ~state.active)
 
-    # Pad the batch rows ONCE per step to the int8 sublane multiple (32).
-    # Without this every quantized matmul (4 per layer) pads and re-slices
-    # its own activations — ~8 small copies per layer, ~0.4 ms/step at 7B
-    # B=48.  Padding rows behave like done slots: they write to scratch
-    # page 0, attend over one scratch token (skip), and are dropped before
-    # the lm head.  Only worth it on the kernel path — XLA handles any M.
-    mb_pad = (-mb % 32) if use_kernel else 0
-    if mb_pad:
-        def _pad(a, value=0):
-            widths = [(0, mb_pad)] + [(0, 0)] * (a.ndim - 1)
-            return jnp.pad(a, widths, constant_values=value)
-
-        xs = [_pad(a) for a in xs]
-        positions_s = [_pad(a) for a in positions_s]
-        tables_s = [_pad(a) for a in tables_s]
-        write_pages_s = [_pad(a) for a in write_pages_s]
-        write_slots_s = [_pad(a) for a in write_slots_s]
-        skip_s = [_pad(a, value=True) for a in skip_s]
-        mb = mb + mb_pad
+    # NOTE (round 5, measured): padding the batch rows once per step to the
+    # int8 sublane multiple — so the per-matmul pads become no-ops — was
+    # tried and measured +0.5 ms/step at 7B B=48 (clean same-process A/B,
+    # docs/ENGINE.md): the extra 16 rows of attention / kv-write / norm /
+    # rope work cost more than the 8 small pad copies XLA was already
+    # folding into kernel operand prep.  Per-matmul padding stays.
 
     for layer_idx, layer in enumerate(params["layers"]):
         for i in range(nm):
@@ -406,8 +393,6 @@ def _decode_one(
                 delta = jax.lax.psum(delta, tp_axis)  # row-parallel down
             xs[i] = xi + delta
 
-    if mb_pad:
-        xs = [a[: mb - mb_pad] for a in xs]  # drop pad rows pre-head
     x = xs[0] if nm == 1 else jnp.concatenate(xs, axis=0)
     x = rms_norm(x, params["ln_out"], spec.rms_eps)
     logits = _lm_head(spec, params, x[:, 0], tp_axis)  # [B, vocab]

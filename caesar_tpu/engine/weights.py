@@ -141,14 +141,27 @@ def init_params_device(
         grouped = w.reshape(d_in // group, group, d_out)
         absmax = jnp.max(jnp.abs(grouped), axis=1)
         scales = jnp.maximum(absmax / qmax, 1e-8)
-        q = jnp.clip(
-            jnp.round(grouped / scales[:, None, :]), -qmax, qmax
-        ).astype(jnp.int8).reshape(d_in, d_out)
-        scales = scales.astype(jnp.bfloat16)
         planar = act == "int8" and all(
             d % 64 == 0
             for d in (spec.q_dim, spec.kv_dim, spec.dim, spec.hidden)
         )
+        # rank-1 scale constraint is OPT-IN (see quant.quantize_weight:
+        # measured 13.2% ppl delta on random init vs 3.1% free-grouped)
+        rank1 = (
+            bool(os.environ.get("CAESAR_W4A8_RANK1"))
+            and quant_bits == 4 and act == "int8" and planar
+            and group < d_in
+        )
+        if rank1:
+            logs = jnp.log(scales)
+            lr = logs.mean(axis=1)
+            row = jnp.exp(lr - lr[0])[:, None]
+            col = jnp.max(scales / row, axis=0, keepdims=True)
+            scales = row * col
+        q = jnp.clip(
+            jnp.round(grouped / scales[:, None, :]), -qmax, qmax
+        ).astype(jnp.int8).reshape(d_in, d_out)
+        scales = scales.astype(jnp.bfloat16)
         if quant_bits == 4 and act == "int8" and planar:
             # w4a8 column-planar biased packing (see quant.quantize_weight)
             qb = (q + 8).astype(jnp.uint8)
@@ -169,6 +182,7 @@ def init_params_device(
             qweight=q, scales=scales,
             bits=quant_bits, group=group,
             out_features=d_out, in_features=d_in, act=act,
+            rank1=bool(rank1),
         )
 
     def vec(d: int) -> jax.Array:
@@ -366,7 +380,10 @@ def _save_params_cache(path: Path, params: dict) -> None:
             for i, v in enumerate(node):
                 walk(f"{prefix}.{i}", v)
         elif isinstance(node, QuantizedLinear):
-            flat[f"{prefix}#q{node.bits}g{node.group}"] = np.asarray(node.qweight)
+            r1 = "r1" if node.rank1 else ""
+            flat[f"{prefix}#q{node.bits}g{node.group}{r1}"] = np.asarray(
+                node.qweight
+            )
             flat[f"{prefix}#s"] = np.asarray(node.scales.astype(jnp.float32))
         else:
             flat[prefix] = np.asarray(
@@ -405,7 +422,10 @@ def _load_params_cache(path: Path, dtype) -> dict:
         node, leaf = ensure(params, parts)
         if tag.startswith("q"):
             bits, group = tag[1:].split("g")
-            qmeta[name] = (int(bits), int(group))
+            rank1 = group.endswith("r1")
+            if rank1:
+                group = group[:-2]
+            qmeta[name] = (int(bits), int(group), rank1)
             entry = node.get(leaf) if isinstance(node, dict) else None
             value = {"qweight": jnp.asarray(data[key])}
             if isinstance(entry, dict):
@@ -436,14 +456,14 @@ def _load_params_cache(path: Path, dtype) -> dict:
     def _patch(prefix, node):
         if isinstance(node, dict):
             if set(node.keys()) == {"qweight", "scales"} and prefix in qmeta:
-                bits, group = qmeta[prefix]
+                bits, group, rank1 = qmeta[prefix]
                 qw = node["qweight"]
                 d_in = qw.shape[0] * (2 if bits == 4 else 1)
                 from caesar_tpu.engine.quant import QuantizedLinear as QL
 
                 return QL(
                     qweight=qw, scales=node["scales"], bits=bits, group=group,
-                    out_features=qw.shape[1], in_features=d_in,
+                    out_features=qw.shape[1], in_features=d_in, rank1=rank1,
                 )
             return {k: _patch(f"{prefix}.{k}" if prefix else k, v)
                     for k, v in node.items()}
@@ -494,8 +514,12 @@ def resolve_quant_group(quant: str, quant_group: int = -1) -> int:
     quality headroom)."""
     if quant_group >= 0:
         return quant_group
-    # w8a8 per-column; w4a8 keeps 128 groups (int4 quality needs them —
-    # the w4a8 kernel rescales int32 GROUP sums, so groups stay cheap)
+    # w8a8 per-column; w4a8 keeps 128 groups, now RANK-1 CONSTRAINED
+    # (quant._rank1_scales): int4 quality needs grouped scales (measured
+    # delta_w4a8_percol 10.8% vs delta_w4a8 3.1%, docs/QUALITY_r5.json),
+    # and the rank-1 row (x) col factorization gives the large-M (prefill)
+    # path a single native int8 dot anyway — the round-4 w4a8 prefill gap
+    # closed without the per-column quality cost.
     return 0 if quant == "w8a8" else 128
 
 

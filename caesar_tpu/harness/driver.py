@@ -42,6 +42,13 @@ def create_work_list(dataset: ProblemDataset, config: RunConfig) -> List[WorkIte
                     problem_path=dataset.get_problem_path_by_id(problem_id),
                 )
             )
+    limit = getattr(config, "limit_trajectories", 0)
+    if limit:
+        # benchmark subsetting (tools/bench_harness.py): the sequential
+        # baseline leg's per-trajectory time is constant, so its rate is
+        # measured on the sweep's first N trajectories instead of hours of
+        # full sweep
+        work = work[: int(limit)]
     return work
 
 

@@ -581,12 +581,22 @@ _XLA_M = int(_os.environ.get("CAESAR_QMM_XLA_M", "256"))
 def _large_m_matmul(x2: jax.Array, w, tp_axis=None) -> jax.Array:
     """Compute-bound (prefill-shape) path: plain XLA dots on the MXU.
 
-    Per-column-scale int8 activations (the serving default): one native
-    int8 x int8 -> int32 dot — bit-identical to the Pallas per-column
-    kernels (same raw int32 accumulation, same two f32 rescales).  Grouped
-    scales / weight-only: dequantize once to bf16 and let the MXU stream it
-    — at M >= _XLA_M the dequant traffic is amortized over enough rows
-    that the dot is compute-bound either way.
+    Per-column-scale int8 activations (the serving default for BOTH w8a8
+    and w4a8, weights.resolve_quant_group): one native int8 x int8 -> int32
+    dot — bit-identical to the Pallas per-column kernels (same raw int32
+    accumulation, same two f32 rescales), so prefill logits and decode
+    logits share one numeric path.  Grouped scales / weight-only:
+    dequantize once to bf16 and let the MXU stream it — at M >= _XLA_M the
+    dequant traffic is amortized over enough rows that the dot is
+    compute-bound either way.
+
+    NUMERIC-DIVERGENCE NOTE (round-4 advisor): for GROUPED modes this
+    bf16-dequant path computes different numerics than the decode-tuned
+    int8 kernels for the same weights; the last prefill logits seed the
+    first sampled token, so greedy ties can in principle flip at the
+    M >= _XLA_M boundary.  The serving defaults (per-column) are immune;
+    grouped runs accept the documented boundary.  A decode batch can never
+    reach _XLA_M rows (max_batch caps well below 256).
     """
     from caesar_tpu.engine.quant import (
         _unpack_int4,
@@ -594,9 +604,29 @@ def _large_m_matmul(x2: jax.Array, w, tp_axis=None) -> jax.Array:
         _unplanarize_scales,
         dequantize,
         quantize_activations,
+        rank1_factors,
     )
 
     k, n, group = _local_dims(w)
+    if w.w4a8 and w.rank1 and group < k:
+        # rank-1 grouped w4a8 (the serving default): fold the row factor
+        # into the activations BEFORE per-token quantization, then ONE
+        # native full-K int8 dot rescaled by col * xs — grouped-scale
+        # fidelity at the per-column path's prefill speed (decode keeps
+        # the grouped Pallas kernel on the stored product scales).
+        row, col = rank1_factors(w)
+        m2 = x2.shape[0]
+        xg = (
+            x2.astype(jnp.float32).reshape(m2, k // group, group)
+            * row[None, :, None]
+        ).reshape(m2, k)
+        xq, xs = quantize_activations(xg, tp_axis)
+        qw = _unpack_w4a8(w.qweight)
+        ig = jax.lax.dot_general(
+            xq, qw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return ig.astype(jnp.float32) * col[None, :] * xs[:, None]
     if w.act == "int8" and group >= k:
         xq, xs = quantize_activations(x2, tp_axis)
         if w.w4a8:

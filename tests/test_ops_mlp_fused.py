@@ -93,6 +93,7 @@ def test_mlp_routes_through_fused(monkeypatch):
     params = dict(params, down=qd)
 
     monkeypatch.setattr(quant, "_use_pallas", lambda: True)
+    monkeypatch.setenv("CAESAR_FUSED_MLP", "1")  # the fused path is opt-in
     called = {}
     orig = mlp_fused.gateup_silu
 

@@ -112,8 +112,10 @@ def test_resolve_quant_group_auto():
     from caesar_tpu.engine.weights import resolve_quant_group
 
     assert resolve_quant_group("w8a8") == 0  # per-column
+    assert resolve_quant_group("w4a8") == 128  # grouped, rank-1 constrained
     assert resolve_quant_group("int8") == 128
     assert resolve_quant_group("int4") == 128
+    assert resolve_quant_group("w4a8", 0) == 0  # explicit per-column
     assert resolve_quant_group("w8a8", 64) == 64  # explicit override
     assert resolve_quant_group("int8", 0) == 0
 
@@ -179,10 +181,11 @@ def test_w8a8_percolumn_routes_to_kernel(monkeypatch):
 # w4a8: int4 weights, int8 activations (column-planar biased packing)
 # ----------------------------------------------------------------------
 
-def _mk_w4a8(k=256, n=256, group=128, seed=0):
+def _mk_w4a8(k=256, n=256, group=128, seed=0, rank1=None):
     rng = np.random.default_rng(seed)
     w = rng.standard_normal((k, n), dtype=np.float32) * 0.05
-    return w, quantize_weight(w, bits=4, group=group, act="int8")
+    return w, quantize_weight(w, bits=4, group=group, act="int8",
+                              rank1=rank1)
 
 
 def test_w4a8_packing_dequantizes_to_plain_int4():
@@ -300,3 +303,121 @@ def test_large_m_w8a8_percol_bit_identical_to_kernel_math():
     got = np.asarray(quant_matmul_pallas(x, q))
     ref = np.asarray(_w8a8_matmul_xla(x.astype(jnp.bfloat16), q))
     np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# w4a8 rank-1 scales (grouped serving default; round-5 prefill fix)
+# ----------------------------------------------------------------------
+
+
+def test_w4a8_rank1_scales_factorize():
+    """Opt-in rank-1 for grouped planar w4a8: stored product scales must
+    be an exact row (x) col outer product with row[0] == 1."""
+    from caesar_tpu.engine.quant import _unplanarize_scales, rank1_factors
+
+    _, q = _mk_w4a8(k=512, n=256, group=128, rank1=True)
+    assert q.rank1
+    s = np.asarray(_unplanarize_scales(q.scales), np.float32)
+    row, col = np.asarray(rank1_factors(q)[0]), np.asarray(rank1_factors(q)[1])
+    np.testing.assert_allclose(row[0], 1.0, rtol=1e-2)
+    # reconstruction within bf16 storage rounding
+    np.testing.assert_allclose(
+        s, row[:, None] * col[None, :], rtol=2e-2
+    )
+
+
+def test_w4a8_rank1_covers_free_scales():
+    """Rank-1 constrained scales never clip: they are >= the free grouped
+    scales everywhere (col is the per-column cover)."""
+    from caesar_tpu.engine.quant import _rank1_scales
+
+    rng = np.random.default_rng(3)
+    free = np.exp(rng.standard_normal((7, 64))).astype(np.float32)
+    constrained = _rank1_scales(free)
+    assert (constrained >= free * (1 - 1e-6)).all()
+
+
+def test_w4a8_rank1_large_m_matches_dequant_reference():
+    """The factorized large-M (prefill) path: one full-K int8 dot with the
+    row factor folded into the activations — must match x @ dequant(w)
+    within int8-activation quantization noise."""
+    from caesar_tpu.ops.quant_matmul import _XLA_M
+
+    w, q = _mk_w4a8(k=512, n=256, group=128, seed=1, rank1=True)
+    assert q.rank1
+    rng = np.random.default_rng(2)
+    m = max(_XLA_M, 256)
+    x = jnp.asarray(rng.standard_normal((m, 512)) * 0.2, jnp.bfloat16)
+    got = np.asarray(quant_matmul_pallas(x, q), np.float32)
+    want = np.asarray(
+        jnp.dot(x, dequantize(q), preferred_element_type=jnp.float32),
+        np.float32,
+    )
+    # error budget: per-token int8 activation quantization (~1%) on top of
+    # the shared int4 weight error (cancelled by using dequant(q) as ref)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=0.05 * scale, rtol=0.2)
+
+
+def test_w4a8_rank1_prefill_decode_consistency():
+    """Large-M (factorized dot) and small-M (grouped kernel) paths agree
+    within activation-quant noise for the same weights — the serving
+    boundary documented at _XLA_M."""
+    w, q = _mk_w4a8(k=512, n=256, group=128, seed=4, rank1=True)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((8, 512)) * 0.2, jnp.bfloat16)
+    small = np.asarray(quant_matmul_pallas(x, q), np.float32)
+    big_x = jnp.concatenate([x] * 40, axis=0)  # 320 rows >= _XLA_M
+    big = np.asarray(quant_matmul_pallas(big_x, q), np.float32)[:8]
+    scale = np.abs(small).max()
+    np.testing.assert_allclose(big, small, atol=0.05 * scale, rtol=0.2)
+
+
+def test_fuse_params_skips_rank1_parts():
+    """rank-1 parts must not concat along out (row factors differ)."""
+    from caesar_tpu.engine.quant import fuse_params, quantize_params
+
+    rng = np.random.default_rng(0)
+    layer = {
+        "ln_attn": jnp.ones((256,)), "ln_mlp": jnp.ones((256,)),
+        "wq": rng.standard_normal((256, 256)).astype(np.float32),
+        "wk": rng.standard_normal((256, 128)).astype(np.float32),
+        "wv": rng.standard_normal((256, 128)).astype(np.float32),
+        "wo": rng.standard_normal((256, 256)).astype(np.float32),
+        "mlp": {
+            "gate": rng.standard_normal((256, 512)).astype(np.float32),
+            "up": rng.standard_normal((256, 512)).astype(np.float32),
+            "down": rng.standard_normal((512, 256)).astype(np.float32),
+        },
+    }
+    params = {"layers": [layer]}
+    qp = quantize_params(params, bits=4, group=128, act="int8", rank1=True)
+    fused = fuse_params(qp)
+    new_layer = fused["layers"][0]
+    assert "wq" in new_layer and "wqkv" not in new_layer
+    assert "gate" in new_layer["mlp"] and "gate_up" not in new_layer["mlp"]
+    # default (rank1 off) w4a8 still fuses
+    qp_def = quantize_params(params, bits=4, group=128, act="int8")
+    assert "wqkv" in fuse_params(qp_def)["layers"][0]
+    # w8a8 (non-rank1) still fuses
+    qp8 = quantize_params(params, bits=8, group=0, act="int8")
+    fused8 = fuse_params(qp8)
+    assert "wqkv" in fused8["layers"][0]
+
+
+def test_weights_cache_roundtrips_rank1(tmp_path):
+    from caesar_tpu.engine.weights import (
+        _load_params_cache,
+        _save_params_cache,
+    )
+
+    _, q = _mk_w4a8(k=512, n=256, group=128, rank1=True)
+    params = {"layers": [{"wq": q}]}
+    path = tmp_path / "cache.npz"
+    _save_params_cache(path, params)
+    loaded = _load_params_cache(path, jnp.bfloat16)
+    lq = loaded["layers"][0]["wq"]
+    assert lq.rank1 and lq.bits == 4 and lq.group == 128
+    np.testing.assert_array_equal(
+        np.asarray(lq.qweight), np.asarray(q.qweight)
+    )

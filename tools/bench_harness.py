@@ -19,6 +19,15 @@ Env knobs (config-3 shape = defaults at 7B):
                        over the 10-problem level-1 subset)
     CAESAR_HB_MAXK     turns per trajectory (default 3)
     CAESAR_HB_TOKENS   max new tokens per turn (default 128)
+    CAESAR_HB_DATASET  dataset name (default kernelbench-tpu/level1-subset;
+                       the BASELINE-defined shape is kernelbench-tpu/level2)
+    CAESAR_HB_EVAL     eval backend: mock | jax (real sandboxed CPU eval —
+                       the shape BASELINE's trajectories/hour is defined at)
+    CAESAR_HB_EVAL_WORKERS  concurrent eval sandboxes (default 2 host cores)
+    CAESAR_HB_SEQ_TRAJ pin the SEQUENTIAL leg to this many trajectories
+                       (sequential per-trajectory time is constant, so its
+                       rate extrapolates; the full sequential level-2 sweep
+                       would run for hours)
 The engine shapes (max_batch 48, max_seq_len 2048, chunk 512) match
 bench.py so the persistent compile cache carries over.
 """
@@ -39,6 +48,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def run_sweep(
     model: str, workers: int, tmp: str, tag: str,
     samples: int | None = None, max_k: int | None = None,
+    limit_trajectories: int | None = None,
 ) -> dict:
     from caesar_tpu.config import RunConfig
     from caesar_tpu.harness.driver import run_all
@@ -54,8 +64,11 @@ def run_sweep(
         "PROFILER_FEEDBACK",
     ]
     cfg.backend = "engine"
-    cfg.eval_backend = "mock"
-    cfg.dataset_name = "kernelbench-tpu/level1-subset"
+    cfg.eval_backend = os.environ.get("CAESAR_HB_EVAL", "mock")
+    cfg.eval_workers = int(os.environ.get("CAESAR_HB_EVAL_WORKERS", "2"))
+    cfg.dataset_name = os.environ.get(
+        "CAESAR_HB_DATASET", "kernelbench-tpu/level1-subset"
+    )
     cfg.num_samples = samples or int(os.environ.get("CAESAR_HB_SAMPLES", "5"))
     cfg.max_k = max_k or int(os.environ.get("CAESAR_HB_MAXK", "3"))
     cfg.max_tokens = int(os.environ.get("CAESAR_HB_TOKENS", "128"))
@@ -71,6 +84,8 @@ def run_sweep(
     # shapes matching bench.py: the persistent compile cache carries over
     cfg.engine.max_seq_len = 2048
     cfg.engine.prefill_chunk = 512
+    if limit_trajectories:
+        cfg.limit_trajectories = limit_trajectories
     cfg.finalize()
 
     generator = make_generator(cfg)
@@ -98,9 +113,13 @@ def main() -> None:
         # and measured ~10 minutes of XLA compiles as "trajectory time".
         # max_k matches the timed legs so turn-3 prompt lengths (the
         # deepest window bucket) compile here, not in the measured span.
-        run_sweep(model, workers, tmp, "warm-conc", samples=1)
-        run_sweep(model, 1, tmp, "warm-seq", samples=1)
-        sequential = run_sweep(model, 1, tmp, "sequential")
+        seq_traj = int(os.environ.get("CAESAR_HB_SEQ_TRAJ", "0")) or None
+        run_sweep(model, workers, tmp, "warm-conc", samples=1,
+                  limit_trajectories=min(workers, 16))
+        run_sweep(model, 1, tmp, "warm-seq", samples=1,
+                  limit_trajectories=2)
+        sequential = run_sweep(model, 1, tmp, "sequential",
+                               limit_trajectories=seq_traj)
         concurrent = run_sweep(model, workers, tmp, "concurrent")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -115,6 +134,13 @@ def main() -> None:
         "extras": {
             "concurrent_trajectories_per_hour": round(conc_rate, 1),
             "sequential_trajectories_per_hour": round(seq_rate, 1),
+            "dataset": os.environ.get(
+                "CAESAR_HB_DATASET", "kernelbench-tpu/level1-subset"
+            ),
+            "eval_backend": os.environ.get("CAESAR_HB_EVAL", "mock"),
+            "sequential_leg_trajectories": os.environ.get(
+                "CAESAR_HB_SEQ_TRAJ", "all"
+            ),
             "workers": workers,
             "p50_turn_latency_s_concurrent": concurrent.get("p50_turn_latency_s"),
             "p50_turn_latency_s_sequential": sequential.get("p50_turn_latency_s"),

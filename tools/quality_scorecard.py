@@ -26,6 +26,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax  # noqa: E402
+
+# the axon sitecustomize force-updates jax_platforms at interpreter start;
+# config-level override wins as long as no backend is initialized yet
+jax.config.update("jax_platforms", "cpu")
+
 
 def main() -> None:
     model = sys.argv[1] if len(sys.argv) > 1 else "qwen2.5-coder-0.5b"

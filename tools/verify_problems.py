@@ -23,6 +23,12 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax  # noqa: E402
+
+# the axon sitecustomize force-updates jax_platforms at interpreter start;
+# config-level override wins as long as no backend is initialized yet
+jax.config.update("jax_platforms", "cpu")
+
 from caesar_tpu.evalkit.dataset import ProblemDataset  # noqa: E402
 from caesar_tpu.evalkit.jax_eval import evaluate_kernel  # noqa: E402
 
