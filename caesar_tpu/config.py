@@ -193,6 +193,11 @@ class RunConfig:
     # --- eval sandbox ---
     #: mock | jax | torch_cpu
     eval_backend: str = "jax"
+    #: keep eval_workers WARM runner subprocesses instead of one spawn per
+    #: op — the per-op Python+JAX import (~2.5 s) otherwise dominates every
+    #: eval on small problems (timeout semantics unchanged: exact-child
+    #: kill + respawn; see evalkit/sandbox._PoolWorker)
+    eval_pool: bool = True
     measure_performance: bool = True
     num_correct_trials: int = 5
     num_perf_trials: int = 100

@@ -51,7 +51,37 @@ def handle_request(request: dict) -> dict:
     raise KeyError(f"unknown op {op!r}")
 
 
+def serve() -> int:
+    """Persistent worker loop (sandbox pool mode): one JSON request per
+    stdin line, one JSON response per stdout line, until EOF.
+
+    Amortizes the Python+JAX import (~2.5 s on this 2-core host — measured
+    to dominate a one-shot eval) across many evals; the parent still owns
+    the timeout by killing this exact process and respawning.
+
+    Framing defense: evaluated kernel code can print() or even
+    os.write(1, ...) — the protocol stream is dup'd to a private fd and
+    fd 1 is re-pointed at stderr BEFORE any request runs, so nothing the
+    sandboxed code writes can corrupt a response line."""
+    import os
+
+    proto = os.fdopen(os.dup(1), "w")
+    os.dup2(2, 1)  # fd-level: raw writes to fd 1 land on stderr
+    for line in sys.stdin:
+        if not line.strip():
+            continue
+        try:
+            response = handle_request(json.loads(line))
+        except Exception:
+            response = {"ok": False, "error": traceback.format_exc(limit=24)}
+        proto.write(json.dumps(response) + "\n")
+        proto.flush()
+    return 0
+
+
 def main() -> int:
+    if "--serve" in sys.argv[1:]:
+        return serve()
     try:
         request = json.load(sys.stdin)
         response = handle_request(request)

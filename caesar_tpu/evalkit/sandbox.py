@@ -17,13 +17,79 @@ from __future__ import annotations
 
 import json
 import os
+import queue
+import select
 import subprocess
 import sys
+import threading
+import time
 from typing import Optional, Tuple
 
 from caesar_tpu.evalkit.result import KernelExecResult
 
 _TIMEOUT_SENTINEL = "__timeout__"
+
+#: pool workers are recycled after this many requests: each generated
+#: kernel is new source, so the worker's jax compile cache only grows
+_WORKER_RECYCLE = 32
+
+
+class _PoolWorker:
+    """One persistent runner subprocess (``runner --serve``): line-framed
+    JSON requests in, responses out.  Timeout/crash handling keeps the
+    one-shot sandbox's guarantee — the exact child is killed, never a
+    pattern — the parent just respawns a fresh worker afterwards."""
+
+    def __init__(self, env_overrides: dict):
+        env = dict(os.environ)
+        for key, value in env_overrides.items():
+            if value is None:
+                env.pop(key, None)
+            else:
+                env[key] = value
+        self.proc = subprocess.Popen(
+            [sys.executable, "-m", "caesar_tpu.evalkit.runner", "--serve"],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            env=env,
+        )
+        self.buf = b""
+        self.served = 0
+
+    def request(self, request: dict, timeout: float) -> Optional[dict]:
+        """None = worker died mid-request (caller respawns + retries once);
+        the timeout sentinel response mirrors the one-shot path."""
+        try:
+            self.proc.stdin.write(json.dumps(request).encode() + b"\n")
+            self.proc.stdin.flush()
+        except (BrokenPipeError, OSError):
+            return None
+        deadline = time.monotonic() + timeout
+        fd = self.proc.stdout.fileno()
+        while b"\n" not in self.buf:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                return {"ok": False, "error": _TIMEOUT_SENTINEL}
+            ready, _, _ = select.select([fd], [], [], min(remaining, 1.0))
+            if ready:
+                chunk = os.read(fd, 1 << 16)
+                if not chunk:  # EOF: the evaluated code crashed the worker
+                    return None
+                self.buf += chunk
+        line, _, self.buf = self.buf.partition(b"\n")
+        self.served += 1
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            return None
+
+    def kill(self) -> None:
+        try:
+            self.proc.kill()
+            self.proc.wait(timeout=5)
+        except Exception:
+            pass
 
 
 def _run_runner(request: dict, timeout: float, env_overrides: dict) -> dict:
@@ -73,6 +139,7 @@ class EvalSandbox:
         profiler_timeout: float = 600.0,
         isolate: Optional[bool] = None,
         eval_platform: str = "cpu",
+        pool_size: int = 0,
     ):
         """
         Args:
@@ -84,12 +151,72 @@ class EvalSandbox:
                 backends, False for mock (pure in-process logic)
             eval_platform: JAX_PLATFORMS value for isolated jax evals — "cpu"
                 keeps generated-kernel execution off the serving engine's TPU
+            pool_size: >0 keeps up to this many WARM runner subprocesses
+                (``runner --serve``) instead of spawning one per op — the
+                per-op Python+JAX import (~2.5 s measured on this host)
+                otherwise dominates every eval.  Timeout semantics are
+                identical: the exact worker is killed and replaced.
         """
         self.backend = backend
         self.timeout = timeout
         self.profiler_timeout = profiler_timeout
         self.isolate = isolate if isolate is not None else backend != "mock"
         self.eval_platform = eval_platform
+        self.pool_size = pool_size if self.isolate else 0
+        self._pool: Optional[queue.Queue] = (
+            queue.Queue() if self.pool_size else None
+        )
+        self._spawned = 0
+        self._spawn_lock = threading.Lock()
+
+    # ------------------------------------------------------------------
+    def _borrow(self) -> "_PoolWorker":
+        try:
+            return self._pool.get_nowait()
+        except queue.Empty:
+            pass
+        with self._spawn_lock:
+            if self._spawned < self.pool_size:
+                self._spawned += 1
+                return _PoolWorker(self._env_overrides())
+        return self._pool.get()  # bounded upstream by the eval-slot sem
+
+    def _discard(self, worker: "_PoolWorker") -> None:
+        worker.kill()
+        with self._spawn_lock:
+            self._spawned -= 1
+
+    def _return(self, worker: "_PoolWorker") -> None:
+        if worker.served >= _WORKER_RECYCLE:
+            self._discard(worker)  # jax compile cache only grows
+        else:
+            self._pool.put(worker)
+
+    def _dispatch_pooled(self, request: dict, timeout: float) -> dict:
+        worker = self._borrow()
+        response = worker.request(request, timeout)
+        if response is None:  # worker died mid-request: respawn, retry once
+            self._discard(worker)
+            worker = self._borrow()
+            response = worker.request(request, timeout)
+        if response is None:
+            self._discard(worker)
+            return {"ok": False, "error": "eval worker died twice on request"}
+        if response.get("error") == _TIMEOUT_SENTINEL:
+            self._discard(worker)  # the op is still running inside — kill
+        else:
+            self._return(worker)
+        return response
+
+    def close(self) -> None:
+        """Kill pooled workers (no-op for one-shot mode)."""
+        if self._pool is None:
+            return
+        while True:
+            try:
+                self._pool.get_nowait().kill()
+            except queue.Empty:
+                break
 
     # ------------------------------------------------------------------
     def _env_overrides(self) -> dict:
@@ -113,6 +240,8 @@ class EvalSandbox:
                 return runner.handle_request(request)
             except Exception as e:
                 return {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        if self._pool is not None:
+            return self._dispatch_pooled(request, timeout)
         return _run_runner(request, timeout, self._env_overrides())
 
     # ------------------------------------------------------------------

@@ -105,6 +105,7 @@ async def run_all(
         backend=config.eval_backend,
         timeout=config.timeout,
         profiler_timeout=config.profiler_timeout,
+        pool_size=config.eval_workers if config.eval_pool else 0,
     )
     resources = SliceResourceManager(eval_slots=config.eval_workers)
     worker_sem = asyncio.Semaphore(config.num_workers)
@@ -151,6 +152,7 @@ async def run_all(
     finally:
         if reporter:
             reporter.cancel()
+        sandbox.close()
         if own_generator:
             await generator.close()
 

@@ -578,6 +578,58 @@ def supports(w) -> bool:
 _XLA_M = int(_os.environ.get("CAESAR_QMM_XLA_M", "256"))
 
 
+def _w4a8_grouped_call(x2, w, tp_axis, interpret):
+    """One w4a8 Pallas dispatch on a [M, K] bf16 slab -> [M, N] f32.
+
+    Shared by the decode path (quant_matmul_pallas, M < _XLA_M) and the
+    M-chunked prefill path (_large_m_matmul).  Column-planar biased packing
+    (quant.quantize_weight) -> per-group int8 MXU dots; per-group bias
+    correction from activation rowsums; output unpermuted from (lo, hi)
+    planes to true columns.  Returns None when the tile search cannot tile
+    the shape (tiny test models / shard slices)."""
+    from caesar_tpu.engine.quant import quantize_activations
+
+    k, n, group = _local_dims(w)
+    m = x2.shape[0]
+    m_pad = -m % 32  # int8 min sublane tile
+    tiles4 = (
+        _pick_tiles_w4a8(m + m_pad, k, n, group)
+        if k % group == 0
+        else None
+    )
+    if tiles4 is None:
+        return None
+    if m_pad:
+        x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
+    bk, bnp = tiles4
+    xq, xs = quantize_activations(x2, tp_axis)
+    # rs feeds the PER-COLUMN kernel only (8 * full-K rowsum);
+    # the grouped kernel derives its per-group rowsums in-kernel
+    if group >= k:
+        rs = 8.0 * jnp.sum(xq.astype(jnp.float32), axis=1, keepdims=True)
+    else:
+        rs = jnp.zeros((x2.shape[0], 1), jnp.float32)
+    out_pl = _w4a8_matmul(
+        xq, rs, w.qweight, w.scales, group, k, n, bk, bnp, interpret
+    )  # [2, M, n//2] planar
+    out_pl = out_pl * xs[None, :, None]
+    half = n // 2
+    out = (
+        out_pl.reshape(2, x2.shape[0], half // 32, 32)
+        .transpose(1, 2, 0, 3)
+        .reshape(x2.shape[0], n)
+    )
+    if m_pad:
+        out = out[:m]
+    return out
+
+
+#: row-chunk size for the grouped-w4a8 prefill path (_large_m_matmul):
+#: the largest M at which _pick_tiles_w4a8 still finds big weight tiles
+#: (the [M, BK] activation block and [2, M, BNP] out tile live in VMEM).
+_W4A8_M_CHUNK = int(_os.environ.get("CAESAR_W4A8_M_CHUNK", "256"))
+
+
 def _large_m_matmul(x2: jax.Array, w, tp_axis=None) -> jax.Array:
     """Compute-bound (prefill-shape) path: plain XLA dots on the MXU.
 
@@ -585,10 +637,11 @@ def _large_m_matmul(x2: jax.Array, w, tp_axis=None) -> jax.Array:
     and w4a8, weights.resolve_quant_group): one native int8 x int8 -> int32
     dot — bit-identical to the Pallas per-column kernels (same raw int32
     accumulation, same two f32 rescales), so prefill logits and decode
-    logits share one numeric path.  Grouped scales / weight-only:
-    dequantize once to bf16 and let the MXU stream it — at M >= _XLA_M the
-    dequant traffic is amortized over enough rows that the dot is
-    compute-bound either way.
+    logits share one numeric path.  Grouped w4a8 (the w4a8 serving
+    default): the decode-tuned grouped Pallas kernel, M-chunked — see
+    below.  Other grouped / weight-only modes: dequantize once to bf16
+    and let the MXU stream it — at M >= _XLA_M the dequant traffic is
+    amortized over enough rows that the dot is compute-bound either way.
 
     NUMERIC-DIVERGENCE NOTE (round-4 advisor): for GROUPED modes this
     bf16-dequant path computes different numerics than the decode-tuned
@@ -608,6 +661,29 @@ def _large_m_matmul(x2: jax.Array, w, tp_axis=None) -> jax.Array:
     )
 
     k, n, group = _local_dims(w)
+    if w.w4a8 and group < k and not w.rank1:
+        # Grouped w4a8 (the w4a8 serving default, resolve_quant_group):
+        # run the decode-tuned grouped Pallas kernel over M-chunks instead
+        # of dequantizing to bf16.  The kernel holds the whole [M, BK]
+        # activation block and [2, M, BNP] out tile in VMEM, so its tile
+        # search collapses at prefill M — chunking M restores decode-sized
+        # tiles.  Weights re-stream once per chunk (M/256 times), but at
+        # M >= _XLA_M the op is MXU-compute-bound and the re-stream rides
+        # under the dots; the int8 MXU path is ~2x the bf16-dequant dot
+        # this branch used to take (round-4's 2x w4a8 prefill gap).
+        interpret = jax.default_backend() != "tpu"
+        m2 = x2.shape[0]
+        outs = []
+        for i in range(0, m2, _W4A8_M_CHUNK):
+            out = _w4a8_grouped_call(
+                x2[i : i + _W4A8_M_CHUNK], w, tp_axis, interpret
+            )
+            if out is None:  # tile search failed (tiny shard shapes)
+                outs = None
+                break
+            outs.append(out)
+        if outs is not None:
+            return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     if w.w4a8 and w.rank1 and group < k:
         # rank-1 grouped w4a8 (the serving default): fold the row factor
         # into the activations BEFORE per-token quantization, then ONE
@@ -677,43 +753,10 @@ def quant_matmul_pallas(x: jax.Array, w, tp_axis=None) -> jax.Array:
         if not w.w4a8:  # tiny non-planar shapes: XLA reference path
             wf = dequantize(w, dtype=jnp.bfloat16)
             return jnp.dot(x, wf, preferred_element_type=jnp.float32)
-        # w4a8: column-planar biased packing (quant.quantize_weight) ->
-        # full-K int8 MXU dots; per-group bias correction from activation
-        # rowsums; output unpermuted from (lo, hi) planes to true columns
+        # w4a8 kernel dispatch (shared with the M-chunked prefill path)
         x2 = x.reshape(-1, k).astype(jnp.bfloat16)
-        m = x2.shape[0]
-        m_pad = -m % 32  # int8 min sublane tile
-        tiles4 = (
-            _pick_tiles_w4a8(m + m_pad, k, n, group)
-            if k % group == 0
-            else None
-        )
-        if tiles4 is not None:
-            if m_pad:
-                x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
-            bk, bnp = tiles4
-            xq, xs = quantize_activations(x2, tp_axis)
-            # rs feeds the PER-COLUMN kernel only (8 * full-K rowsum);
-            # the grouped kernel derives its rowsums in-kernel
-            if group >= k:
-                rs = 8.0 * jnp.sum(
-                    xq.astype(jnp.float32), axis=1, keepdims=True
-                )
-            else:
-                rs = jnp.zeros((x2.shape[0], 1), jnp.float32)
-            out_pl = _w4a8_matmul(
-                xq, rs, w.qweight, w.scales, group, k, n, bk, bnp,
-                interpret,
-            )  # [2, M, n//2] planar
-            out_pl = out_pl * xs[None, :, None]
-            half = n // 2
-            out = (
-                out_pl.reshape(2, x2.shape[0], half // 32, 32)
-                .transpose(1, 2, 0, 3)
-                .reshape(x2.shape[0], n)
-            )
-            if m_pad:
-                out = out[:m]
+        out = _w4a8_grouped_call(x2, w, tp_axis, interpret)
+        if out is not None:
             return out.reshape(*leading, n)
         # shapes the kernel cannot tile (tiny test models): XLA reference
         wf = dequantize(w, dtype=jnp.bfloat16)

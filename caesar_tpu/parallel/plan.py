@@ -59,7 +59,14 @@ def make_mesh(
 
 
 def _shard_leaf(leaf, mesh: Mesh, spec: P):
-    return jax.device_put(leaf, NamedSharding(mesh, spec))
+    sharding = NamedSharding(mesh, spec)
+    if isinstance(leaf, jax.ShapeDtypeStruct):
+        # abstract placement: lets the whole plan run on jax.eval_shape
+        # trees for AOT topology probes (tools/config4_probe.py compiles
+        # the 32B tp=8 serving step against a v5e topology without ever
+        # materializing the weights)
+        return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=sharding)
+    return jax.device_put(leaf, sharding)
 
 
 def _refine_group(w: QuantizedLinear, tp: int) -> QuantizedLinear:

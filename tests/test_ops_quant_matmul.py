@@ -305,6 +305,27 @@ def test_large_m_w8a8_percol_bit_identical_to_kernel_math():
     np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
 
 
+def test_large_m_w4a8_grouped_chunks_through_kernel():
+    """Grouped w4a8 (the w4a8 serving default) at prefill M runs the
+    grouped Pallas kernel over 256-row M-chunks (round-5: the bf16-dequant
+    detour this replaces cost w4a8 2x on config-3 prefill).  Numerics must
+    match the dequantized reference, including a ragged final chunk."""
+    w, q = _mk_w4a8(k=512, n=256, group=128)
+    rng = np.random.default_rng(11)
+    m = 600  # chunks of 256, 256, 88 (ragged tail)
+    x = jnp.asarray(rng.standard_normal((m, 512), dtype=np.float32) * 0.1)
+    expected = np.asarray(
+        jnp.dot(
+            x.astype(jnp.bfloat16),
+            dequantize(q, dtype=jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    )
+    got = np.asarray(quant_matmul_pallas(x, q))
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=8e-2, rtol=8e-2)
+
+
 # ----------------------------------------------------------------------
 # w4a8 rank-1 scales (grouped serving default; round-5 prefill fix)
 # ----------------------------------------------------------------------
