@@ -121,7 +121,14 @@ def linear(
     match single-device exactly.  Row-parallel weights carry no bias (a
     per-shard bias would be multiplied by tp in the psum)."""
     if isinstance(w, quant_lib.QuantizedLinear):
-        y = quant_lib.quantized_matmul(x, w, tp_axis=tp_axis)
+        # bias-free sites let the kernel emit the activation dtype directly
+        # (fused per-token rescale + bf16 out tile — half the [M, N] HBM
+        # traffic of the fattest decode intermediates); biased sites keep
+        # the f32 output so the bias add stays in f32
+        y = quant_lib.quantized_matmul(
+            x, w, tp_axis=tp_axis,
+            out_dtype=x.dtype if bias is None else None,
+        )
     else:
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if bias is not None:
@@ -229,14 +236,19 @@ def mlp(params: dict, x: jax.Array, tp_axis: Optional[str] = None) -> jax.Array:
 
 
 def qkv_project(
-    spec: ModelSpec, layer: dict, x: jax.Array, positions: jax.Array
+    spec: ModelSpec, layer: dict, x: jax.Array, positions: jax.Array,
+    rope: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Project + RoPE.  x: [B, T, D] -> q [B,T,H,hd], k/v [B,T,KV,hd].
 
     Supports both the canonical per-projection layout (wq/wk/wv — used when
     tensor-parallel sharding needs head-aligned splits) and the fused single
     "wqkv" layout (one [D, q_dim+2*kv_dim] matmul — fewer, bigger kernel
-    launches for single-device serving; see quant.fuse_params)."""
+    launches for single-device serving; see quant.fuse_params).
+
+    rope: precomputed (cos, sin) tables for `positions` — the decode step
+    hoists them out of the layer loop (positions are identical across all
+    n_layers calls within one step)."""
     b, t, _ = x.shape
     if "wqkv" in layer:
         qkv = linear(x, layer["wqkv"], layer.get("bqkv"))
@@ -257,7 +269,10 @@ def qkv_project(
         v = linear(x, layer["wv"], layer.get("bv")).reshape(
             b, t, spec.n_kv_heads, spec.head_dim
         )
-    cos, sin = rope_tables(positions, spec.head_dim, spec.rope_theta)
+    cos, sin = (
+        rope if rope is not None
+        else rope_tables(positions, spec.head_dim, spec.rope_theta)
+    )
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
 

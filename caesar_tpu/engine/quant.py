@@ -305,18 +305,23 @@ def _use_pallas() -> bool:
 
 
 def quantized_matmul(
-    x: jax.Array, w: QuantizedLinear, tp_axis: str | None = None
+    x: jax.Array, w: QuantizedLinear, tp_axis: str | None = None,
+    out_dtype=None,
 ) -> jax.Array:
     """x [..., in] @ w -> [..., out] in f32 accumulation.
 
     TPU: fused dequant+matmul Pallas kernel (weights dequantized tile-by-tile
     in VMEM).  Elsewhere: XLA dequant + dot (fused by the compiler, used in
     CPU tests).  tp_axis: see quantize_activations — row-parallel callers
-    inside shard_map pass the mesh axis so w8a8 uses the global scale."""
+    inside shard_map pass the mesh axis so w8a8 uses the global scale.
+    out_dtype: bias-free call sites pass the activation dtype so the
+    kernel may emit it directly (quant_matmul_pallas docstring); the
+    returned array is then already out_dtype instead of f32."""
     if _use_pallas():
         from caesar_tpu.ops.quant_matmul import quant_matmul_pallas
 
-        return quant_matmul_pallas(x, w, tp_axis=tp_axis)
+        return quant_matmul_pallas(x, w, tp_axis=tp_axis,
+                                   out_dtype=out_dtype)
     if w.act == "int8":
         return _w8a8_matmul_xla(x, w, tp_axis=tp_axis)
     wf = dequantize(w, dtype=jnp.bfloat16)

@@ -45,9 +45,11 @@ def _sample_nongreedy(
     top_p: jax.Array,
 ) -> jax.Array:
     vocab = logits.shape[-1]
-    # temperature scaling (guard 0 to avoid div-by-zero; masked out below)
+    # temperature scaling (guard 0 to avoid div-by-zero; masked out below).
+    # logits may arrive bf16 (decode keeps the lm head's native dtype —
+    # step._lm_head); the softmax/cumsum chain below needs f32.
     safe_t = jnp.where(temperature > 0, temperature, 1.0)
-    scaled = logits / safe_t[:, None]
+    scaled = logits.astype(jnp.float32) / safe_t[:, None]
 
     # top-k mask: keep the k highest logits
     sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]  # [B, vocab] descending

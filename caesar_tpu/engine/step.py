@@ -97,8 +97,14 @@ def _lm_head(
         return jnp.dot(
             x, params["embed"].T, preferred_element_type=jnp.float32
         )
-    # untied head may be a QuantizedLinear (engine.quant_head)
-    logits = linear(x, params["unembed"]).astype(jnp.float32)
+    # untied head may be a QuantizedLinear (engine.quant_head).  The
+    # logits stay in the activation dtype (bf16): linear() rounds to bf16
+    # anyway, so a f32 cast here adds zero information — it just doubles
+    # the [B, vocab] stream sampling re-reads (29 MB at 7B B=48) and the
+    # TP logits all-gather's ICI bytes.  Comparisons (argmax, top-k
+    # thresholds) are value-identical on the rounded values; the
+    # non-greedy softmax path upcasts internally (sampling.py).
+    logits = linear(x, params["unembed"])
     if tp_axis is not None:
         # vocab-sharded head: gather the shards' logit tiles (contiguous
         # vocab chunks in shard order) so sampling sees the full row
@@ -170,10 +176,14 @@ def _prefill_impl(
     sizes is dominated by per-chunk fixed work, not tokens).  Padding rows
     write to scratch page 0 and their logits row is discarded by the host.
     """
+    from caesar_tpu.engine.model import rope_tables
+
     x = params["embed"][tokens]  # [P, T, D]
+    # rope tables are position-only: compute once per chunk, not per layer
+    rope = rope_tables(positions, spec.head_dim, spec.rope_theta)
     for layer_idx, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["ln_attn"], spec.rms_eps)
-        q, k, v = qkv_project(spec, layer, h, positions)
+        q, k, v = qkv_project(spec, layer, h, positions, rope=rope)
         if use_kernel:
             # DMA page writer instead of the XLA scatter (kv_writer.py)
             cache = kvcache.write_chunk_batch_kernel(
@@ -350,11 +360,19 @@ def _decode_one(
     # rope work cost more than the 8 small pad copies XLA was already
     # folding into kernel operand prep.  Per-matmul padding stays.
 
+    # rope tables are position-only: compute once per step, not per layer
+    from caesar_tpu.engine.model import rope_tables
+
+    rope_s = [
+        rope_tables(positions_s[i][:, None], spec.head_dim, spec.rope_theta)
+        for i in range(nm)
+    ]
+
     for layer_idx, layer in enumerate(params["layers"]):
         for i in range(nm):
             pos2d = positions_s[i][:, None]  # [mb, 1]
             h = rms_norm(xs[i], layer["ln_attn"], spec.rms_eps)
-            q, k, v = qkv_project(spec, layer, h, pos2d)
+            q, k, v = qkv_project(spec, layer, h, pos2d, rope=rope_s[i])
             cache = kvcache.write_token(
                 cache, layer_idx, write_pages_s[i], write_slots_s[i],
                 k[:, 0], v[:, 0],
@@ -397,11 +415,16 @@ def _decode_one(
     x = rms_norm(x, params["ln_out"], spec.rms_eps)
     logits = _lm_head(spec, params, x[:, 0], tp_axis)  # [B, vocab]
 
-    # min_tokens: force EOS out of the distribution until the floor
+    # min_tokens: force EOS out of the distribution until the floor.
+    # Expressed as a fused iota mask, not .at[eos_id].set — a one-column
+    # scatter is an un-fusable copy of the whole [B, vocab] buffer, the
+    # mask fuses into the argmax's single read.
     suppress = state.positions < state.eos_floor  # [B]
-    eos_col = logits[:, eos_id]
-    logits = logits.at[:, eos_id].set(
-        jnp.where(suppress, -jnp.inf, eos_col)
+    vocab_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (1, logits.shape[-1]), 1
+    )
+    logits = jnp.where(
+        (vocab_iota == eos_id) & suppress[:, None], -jnp.inf, logits
     )
 
     rng, sub = jax.random.split(state.rng)

@@ -42,9 +42,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: candidate tile sizes, largest first (must divide N / K respectively)
-_BN_CANDIDATES = (1024, 768, 512, 256)
-_BK_CANDIDATES = (512, 256, 128)
 M_ALIGN = 8
 #: VMEM budget for one program's working set (double-buffered weight tile +
 #: activations + f32 out tile); v5e has 16 MB — the rest is left for
@@ -55,14 +52,6 @@ import os as _os
 _VMEM_BUDGET = int(
     float(_os.environ.get("CAESAR_QMM_VMEM_MB", "10")) * 1024 * 1024
 )
-
-
-def _pick_tile(dim: int, candidates: Tuple[int, ...], multiple_of: int = 1
-               ) -> Optional[int]:
-    for c in candidates:
-        if dim % c == 0 and c % multiple_of == 0:
-            return c
-    return None
 
 
 def _divisors_mult(dim: int, mult: int, cap: int) -> Tuple[int, ...]:
@@ -411,6 +400,73 @@ def _w8a8_percol_kernel(xq_ref, qw_ref, s_ref, out_ref, acc_ref):
         out_ref[:] = acc_ref[:].astype(jnp.float32) * ws_row
 
 
+def _w8a8_percol_fused_kernel(xq_ref, xs_ref, qw_ref, s_ref, out_ref, acc_ref):
+    """Per-column kernel with the per-token activation rescale fused into
+    the epilogue and a bf16 output tile.
+
+    Numerically identical to _w8a8_percol_kernel + the caller's
+    `out * xs[:, None]` + linear()'s bf16 cast — same f32 op order
+    ((acc * ws) * xs, then one rounding) — but the [M, N] intermediate
+    leaves the kernel as bf16: halves the fattest non-weight HBM stream of
+    the decode step (gate_up's [48, 37888] f32 write + re-read was ~20 us
+    of the measured ~43 us/layer mlp glue, docs/ENGINE.md round-5 audit).
+    The [M, 1] xs column broadcast happens ONCE here, not per K-tile —
+    the lane-layout cost that kept it out of the grouped kernels' inner
+    loop doesn't apply to a single epilogue."""
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        xq_ref[:], qw_ref[:], preferred_element_type=jnp.int32
+    )
+
+    @pl.when(k_idx == pl.num_programs(1) - 1)
+    def _():
+        ws_row = s_ref[0, 0, :].astype(jnp.float32)[None, :]  # [1, BN]
+        xs_col = xs_ref[:, 0][:, None]  # [M, 1]
+        out_ref[:] = (
+            acc_ref[:].astype(jnp.float32) * ws_row * xs_col
+        ).astype(jnp.bfloat16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "k", "n", "bk", "bn", "interpret"),
+)
+def _w8a8_matmul_fused(xq, xs, qweight, scales, group, k, n, bk, bn,
+                       interpret):
+    """Per-column-only variant of _w8a8_matmul: fused xs epilogue, bf16 out."""
+    m = xq.shape[0]
+    grid = (n // bn, k // bk)
+    flops = 2 * m * n * k
+    bytes_accessed = qweight.size + scales.size * 2 + m * k + m * n * 2
+    return pl.pallas_call(
+        _w8a8_percol_fused_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, bn), lambda i, j: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (m, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(xq, xs.reshape(m, 1), qweight, scales.reshape(-1, 1, n))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group", "k", "n", "bk", "bn", "interpret"),
@@ -551,9 +607,30 @@ def _local_dims(w) -> Tuple[int, int, int]:
 
 
 def _tiles_for(w) -> Optional[Tuple[int, int]]:
+    """(bk, bn) for the weight-only kernels, by divisor search.
+
+    The original fixed candidate lists (1024/768/512/256 x 512/256/128)
+    missed real TP shard shapes — at 32B tp=8 the local gate/up n=3456 has
+    no candidate divisor, silently sending the whole MLP to the XLA
+    bf16-dequant fallback whose f32 temps OOM'd the config-4 AOT compile
+    (64 layers x 67.5 MB).  Enumerate actual divisors instead, largest
+    first, same caps."""
     k, n, group = _local_dims(w)
-    bn = _pick_tile(n, _BN_CANDIDATES)
-    bk = _pick_tile(k, _BK_CANDIDATES, multiple_of=group)
+    bns = _divisors_mult(n, 128, 1024)
+    bn = max(bns) if bns else None
+    bks = list(_divisors_mult(k, group, 512)) if k % group == 0 else []
+    if w.bits == 4 and not w.w4a8:
+        # packed int4 lane legality: the x_even/x_odd and packed-weight
+        # blocks have a [.., bk//2] minor dim, which Mosaic requires to be
+        # 128-divisible OR equal to the full array dim.  Row-sharded TP
+        # slices (e.g. wo at tp=8: local k=640 -> bk//2=64) hit this;
+        # fall back to bk=k (block == array is always legal) when the
+        # whole packed reduction fits VMEM.  Caught by the config-4 AOT
+        # probe — CPU interpret mode never checks block shapes.
+        bks = [d for d in bks if (d // 2) % 128 == 0]
+        if not bks and k % group == 0 and bn and k * bn // 2 <= 2 ** 21:
+            bks = [k]
+    bk = max(bks) if bks else None
     if bn is None or bk is None:
         return None
     return bk, bn
@@ -727,12 +804,19 @@ def _large_m_matmul(x2: jax.Array, w, tp_axis=None) -> jax.Array:
     return jnp.dot(x2, wf, preferred_element_type=jnp.float32)
 
 
-def quant_matmul_pallas(x: jax.Array, w, tp_axis=None) -> jax.Array:
+def quant_matmul_pallas(x: jax.Array, w, tp_axis=None, out_dtype=None
+                        ) -> jax.Array:
     """x [..., K] @ dequant(w) -> [..., N] f32 via the fused kernel.
 
     tp_axis: mesh axis name when called on a row-parallel shard inside
     shard_map — the w8a8 activation scale is pmax'd over it so every shard
     quantizes with the global per-token scale (exact single-device parity).
+
+    out_dtype=bf16 (bias-free call sites, see model.linear): per-column
+    w8a8 at decode M emits bf16 straight from the kernel with the
+    per-token rescale fused into the epilogue — bit-identical to the f32
+    path + rescale + cast, half the [M, N] HBM traffic.  Other modes
+    ignore the hint (the caller's astype lands in the same place).
     """
     from caesar_tpu.engine.quant import dequantize, quantize_activations
 
@@ -776,10 +860,21 @@ def quant_matmul_pallas(x: jax.Array, w, tp_axis=None) -> jax.Array:
                 x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
             bk, bn = tiles8
             xq, xs = quantize_activations(x2, tp_axis)
-            out = _w8a8_matmul(
-                xq, w.qweight, w.scales, group, k, n, bk, bn, interpret
+            fused = (
+                group >= k
+                and out_dtype == jnp.bfloat16
+                and not _os.environ.get("CAESAR_QMM_F32_OUT")
             )
-            out = out * xs[:, None]  # per-token rescale (fused by XLA)
+            if fused:
+                out = _w8a8_matmul_fused(
+                    xq, xs, w.qweight, w.scales, group, k, n, bk, bn,
+                    interpret,
+                )
+            else:
+                out = _w8a8_matmul(
+                    xq, w.qweight, w.scales, group, k, n, bk, bn, interpret
+                )
+                out = out * xs[:, None]  # per-token rescale (fused by XLA)
             if m_pad:
                 out = out[:m]
             return out.reshape(*leading, n)

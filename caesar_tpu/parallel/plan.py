@@ -60,12 +60,18 @@ def make_mesh(
 
 def _shard_leaf(leaf, mesh: Mesh, spec: P):
     sharding = NamedSharding(mesh, spec)
-    if isinstance(leaf, jax.ShapeDtypeStruct):
+    flat = jax.tree.leaves(leaf)
+    if flat and isinstance(flat[0], jax.ShapeDtypeStruct):
         # abstract placement: lets the whole plan run on jax.eval_shape
         # trees for AOT topology probes (tools/config4_probe.py compiles
         # the 32B tp=8 serving step against a v5e topology without ever
-        # materializing the weights)
-        return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=sharding)
+        # materializing the weights).  `leaf` may itself be a small pytree
+        # (the quantized unembed head) — map the sharding over its leaves.
+        return jax.tree.map(
+            lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype,
+                                           sharding=sharding),
+            leaf,
+        )
     return jax.device_put(leaf, sharding)
 
 

@@ -305,6 +305,25 @@ def test_large_m_w8a8_percol_bit_identical_to_kernel_math():
     np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
 
 
+def test_w8a8_percol_fused_bf16_out_matches_unfused():
+    """out_dtype=bf16 on the per-column w8a8 path fuses the per-token
+    rescale into the kernel epilogue and emits bf16 — must equal the f32
+    kernel + caller rescale + bf16 cast bit-for-bit (same f32 op order)."""
+    import jax.numpy as jnp
+
+    q = _large_m_cases()["w8a8_percol"]
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((48, 256), dtype=np.float32) * 0.1)
+    ref = np.asarray(
+        quant_matmul_pallas(x, q).astype(jnp.bfloat16)
+    )
+    got = np.asarray(quant_matmul_pallas(x, q, out_dtype=jnp.bfloat16))
+    assert got.dtype == np.dtype("<u2") or str(got.dtype) == "bfloat16"
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32)
+    )
+
+
 def test_large_m_w4a8_grouped_chunks_through_kernel():
     """Grouped w4a8 (the w4a8 serving default) at prefill M runs the
     grouped Pallas kernel over 256-row M-chunks (round-5: the bf16-dequant

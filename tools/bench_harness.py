@@ -81,8 +81,11 @@ def run_sweep(
         "CAESAR_HB_QUANT", "w8a8" if "7b" in model else "bf16"
     )
     cfg.engine.max_batch = max(2, min(workers, 48))
-    # shapes matching bench.py: the persistent compile cache carries over
-    cfg.engine.max_seq_len = 2048
+    # shapes matching bench.py: the persistent compile cache carries over.
+    # CAESAR_HB_MAXSEQ=4096 + CAESAR_HB_KV=fp8 is the long-prompt escape
+    # hatch (turn-10 level-2 prompts; fp8 halves the pool so 4k ctx fits)
+    cfg.engine.max_seq_len = int(os.environ.get("CAESAR_HB_MAXSEQ", "2048"))
+    cfg.engine.kv_quant = os.environ.get("CAESAR_HB_KV", "bf16")
     cfg.engine.prefill_chunk = 512
     if limit_trajectories:
         cfg.limit_trajectories = limit_trajectories
