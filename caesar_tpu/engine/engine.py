@@ -657,15 +657,19 @@ class Engine:
                 + n_table,
             ] = seq.pages[:n_table]
 
+        t_stage = time.monotonic()
+        packed_dev = jnp.asarray(packed)
+        t_enq = time.monotonic()
         if self._sharded_prefill is not None:
             self.cache, _logits = self._sharded_prefill(
-                self.params, self.cache, jnp.asarray(packed)
+                self.params, self.cache, packed_dev
             )
         else:
             self.cache, _logits = step_mod.prefill_chunk_packed(
-                self.spec, self.params, self.cache, jnp.asarray(packed),
+                self.spec, self.params, self.cache, packed_dev,
                 chunk, self._use_prefill_kernel,
             )
+        t_drain = time.monotonic()
         self.stats.prefill_dispatches += 1
         self._prefill_unsynced = True
         # bound queued-dispatch temps: block on the oldest dispatch once
@@ -674,6 +678,7 @@ class Engine:
         self._prefill_queue.append(_logits)
         while len(self._prefill_queue) > max(self.econf.prefill_inflight, 1):
             np.asarray(self._prefill_queue.pop(0)[:1, :1])
+        t_end = time.monotonic()
 
         for seq, real_t, _ in rows:
             seq.prefilled += real_t
@@ -700,7 +705,10 @@ class Engine:
             print(
                 f"[ENGINE prefill] {len(rows)} seqs x {chunk} tok "
                 f"(bucket {p}), window {window}, "
-                f"dispatch {1e3 * dt:.1f} ms",
+                f"dispatch {1e3 * dt:.1f} ms "
+                f"(stage {1e3 * (t_enq - t_stage):.1f} "
+                f"enq {1e3 * (t_drain - t_enq):.1f} "
+                f"drain {1e3 * (t_end - t_drain):.1f})",
                 flush=True,
             )
         return True

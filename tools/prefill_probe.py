@@ -57,13 +57,27 @@ def main() -> None:
     print(f"pool: {n_pages} pages, {pool_gb:.2f} GB total")
 
     pbatch = int(os.environ.get("PROBE_PREFILL_BATCH", "1"))
+    # PROBE_START: absolute position of the chunk's first token — start=0
+    # measures a prompt's FIRST chunk (attention over `chunk` tokens only);
+    # real config-3 dispatches average start ~700 (three chunks per 1.5k
+    # prompt), so their attention streams the whole written prefix
+    start = int(os.environ.get("PROBE_START", "0"))
+    assert start % page_size == 0 and (start + chunk) <= window * page_size
     tokens = jnp.full((pbatch, chunk), 7, jnp.int32)
-    positions = jnp.tile(jnp.arange(chunk, dtype=jnp.int32), (pbatch, 1))
+    positions = jnp.tile(
+        start + jnp.arange(chunk, dtype=jnp.int32), (pbatch, 1)
+    )
     table = jnp.tile(
         jnp.asarray(np.arange(1, window + 1, dtype=np.int32)), (pbatch, 1)
     )
+    first_pg = start // page_size
     chunk_pages = jnp.tile(
-        jnp.asarray(np.arange(1, chunk // page_size + 1, dtype=np.int32)),
+        jnp.asarray(
+            np.arange(
+                first_pg + 1, first_pg + chunk // page_size + 1,
+                dtype=np.int32,
+            )
+        ),
         (pbatch, 1),
     )
     last = jnp.full((pbatch,), chunk - 1, jnp.int32)
