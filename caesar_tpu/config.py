@@ -72,7 +72,14 @@ class EngineConfig:
     prefill_chunk: int = 512
     #: max sequences prefilled per dispatch (rows of one batched prefill
     #: step share the weight stream, so P pending prefills cost barely more
-    #: than one; row counts bucket to powers of two — one compile each)
+    #: than one; row counts bucket to powers of two — one compile each).
+    #: MEASURED (round 5, level-2 trajectory sweep): raising this to the
+    #: budget cap (6 rows at 7B) REGRESSED the sweep 10.85x -> 9.17x —
+    #: prefill at batched M is MXU-compute-bound, so the bucket's padded
+    #: rows burn real compute (429 vs 251 ms/dispatch), and prefix-cache
+    #: hits make real rows short (332 real tokens/dispatch).  Amortizing
+    #: ragged tails needs token-packing (multiple tails in one row with
+    #: block-diagonal attention), not wider buckets.
     prefill_batch: int = 4
     #: max TOKENS of prefill in flight on the device across queued
     #: dispatches (0 = derive from the HBM left after weights + KV pool).

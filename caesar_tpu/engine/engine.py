@@ -628,6 +628,12 @@ class Engine:
         p = 1  # row-count bucket (one compile per bucket)
         while p < len(rows):
             p *= 2
+        # never pad the bucket past the HBM budget's row cap: temps scale
+        # with PADDED rows, and rows_cap is what _auto_prefill_tokens
+        # guarantees fits — a power-of-two bucket above it (e.g. 8 when
+        # the 7B budget admits 6) would overshoot the bound the budget
+        # exists to enforce.  rows_cap >= len(rows) by construction.
+        p = min(p, max(rows_cap, 1))
         # static gather window: just the pages covering the deepest row's
         # last position, rounded up to a power of two (one compile per
         # bucket).  The XLA prefill-attention path materializes
