@@ -209,7 +209,13 @@ class Engine:
         self.max_batch = econf.max_batch
         self.prefill_chunk = econf.prefill_chunk
         assert self.prefill_chunk % self.page_size == 0
-
+        # chunk-size buckets, smallest first (one compiled program each):
+        # batched prefill compute is proportional to PADDED rows x chunk,
+        # and prefix-cache hits leave ~100-token tails — a tails-only
+        # dispatch drops to the quarter chunk so the pad compute shrinks
+        # 4x while the token budget admits 4x the rows per weight stream
+        # (measured: the level-2 sweep prefilled 332 real tokens per
+        # full-chunk dispatch, 90% pad)
         if n_pages is None:
             n_pages = econf.num_pages or self._auto_pages()
         # bound rows x chunk tokens per batched prefill dispatch against the
@@ -231,6 +237,20 @@ class Engine:
                 self._prefill_dispatch_tokens
                 // self.page_size * self.page_size,
             )
+        # chunk-size buckets, smallest first (one compiled program each):
+        # prefix-cache hits leave ~100-token tails, and a tails-only
+        # dispatch drops to the quarter chunk so the pad compute shrinks
+        # 4x while the token budget admits 4x the rows per weight stream
+        # (measured: the level-2 sweep prefilled 332 real tokens per
+        # full-chunk dispatch — 90% pad)
+        quarter = max(self.page_size, self.prefill_chunk // 4)
+        self._chunk_buckets = tuple(sorted({quarter, self.prefill_chunk}))
+        # admission bound: enough prefilling candidates to fill a
+        # quarter-bucket dispatch with prefill_batch full-chunks' worth of
+        # rows (16 tail rows at the 7B defaults)
+        self._admit_cap = max(econf.prefill_batch, 1) * (
+            self.prefill_chunk // self._chunk_buckets[0]
+        )
         self.cache = kvcache.create_cache(
             spec, n_pages, self.page_size, econf.kv_quant
         )
@@ -500,7 +520,7 @@ class Engine:
         (step.prefill_chunk), which is what keeps prefill from starving the
         decode batch at high trajectory counts."""
         admitted = False
-        while len(self._prefilling) < max(self.econf.prefill_batch, 1):
+        while len(self._prefilling) < self._admit_cap:
             # every prefilling sequence will need a decode slot when it seats
             free_slots = sum(s is None for s in self._slots) - len(
                 self._prefilling
@@ -571,11 +591,37 @@ class Engine:
         if not self._prefilling:
             return False
         t0 = time.monotonic()
-        chunk = self.prefill_chunk
+        # smallest chunk bucket covering every candidate's remaining tail:
+        # a mid-prompt row forces the full chunk; a tails-only pass (the
+        # common steady state with the prefix cache at 0.95 hit) drops to
+        # the quarter bucket — 4x less pad compute, 4x the rows per
+        # weight stream under the same token budget
+        if self._sharded_prefill is not None:
+            # the TP dispatch is compiled for one chunk size (shard_map
+            # closure, make_sharded_prefill_chunk) — no buckets there
+            chunk = self.prefill_chunk
+        else:
+            max_rem = max(
+                len(s.all_tokens()) - s.n_cached - s.prefilled
+                for s in self._prefilling
+            )
+            chunk = next(
+                (b for b in self._chunk_buckets if b >= max_rem),
+                self.prefill_chunk,
+            )
         n_chunk_pages = chunk // self.page_size
         # HBM-derived token bound: at most budget // chunk rows per dispatch
-        # (remaining prefilling rows wait for the next scheduler pass)
+        # (remaining prefilling rows wait for the next scheduler pass).
+        # The row target scales inversely with the bucket — quarter-chunk
+        # dispatches carry 4x the rows for the SAME padded token count;
+        # full-chunk dispatches keep the measured-optimal prefill_batch
+        # (6 full rows were tried and regressed: compute-bound, see
+        # config.prefill_batch).
+        rows_target = max(self.econf.prefill_batch, 1) * (
+            self.prefill_chunk // chunk
+        )
         rows_cap = max(self._prefill_dispatch_tokens // chunk, 1)
+        rows_cap = min(rows_cap, rows_target)
 
         # coalesce ragged arrivals: a PARTIAL batch of rows that haven't
         # started prefilling yet waits exactly one scheduler pass (one
@@ -583,7 +629,7 @@ class Engine:
         # the weight stream + fixed work, so 1-row dispatches waste most
         # of it.  One pass, not wall-clock: it self-scales from ms-long
         # tiny-model chunks to the 7B's ~0.5 s chunks.
-        full = min(max(self.econf.prefill_batch, 1), rows_cap)
+        full = rows_cap  # already min(budget rows, bucket-scaled target)
         if (
             self.econf.prefill_coalesce
             and not self._prefill_deferred
